@@ -1,0 +1,664 @@
+"""TPU backend: every collective is a cached ``jit(shard_map(...))`` program.
+
+This is the TPU-native replacement for the reference's
+``PyTorchDistBackend`` (``train/comms/pt/pytorch_dist_backend.py``) and
+``PyTorchTPUBackend`` (``pytorch_tpu_backend.py``):
+
+- a *process group* (``dist.new_group``) becomes a :class:`CommGroup` — a
+  ``jax.sharding.Mesh`` over the member devices;
+- an eager NCCL call becomes a jitted ``shard_map`` program whose body is the
+  XLA collective (``psum`` / ``all_gather`` / ``psum_scatter`` /
+  ``all_to_all`` / ``ragged_all_to_all`` / ``ppermute``), so message traffic
+  rides ICI/DCN under XLA's scheduler;
+- ``complete_accel_ops`` / ``xm.mark_step`` becomes ``jax.block_until_ready``;
+- rooted collectives (reduce/broadcast/gather/scatter) are composed from
+  masked collectives — XLA exposes no rooted primitives, and the masked
+  formulations move the same bytes the rooted ops would;
+- ``all_to_allv`` uses ``jax.lax.ragged_all_to_all`` so ragged exchanges move
+  the true ragged byte counts (the crux of DLRM parity, SURVEY.md §7).
+
+Rank == device position in the group (single-controller SPMD); under
+multi-host ``jax.distributed`` the same programs span hosts unchanged.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from param_tpu.backend.base import (
+    Backend,
+    CollectiveArgs,
+    CommGroup,
+    SUPPORTED_COLLECTIVES,
+    register_backend,
+)
+
+log = logging.getLogger(__name__)
+
+AXIS = "rank"
+
+
+def _group_key(group: CommGroup) -> Tuple:
+    return (group.pg_id, tuple(d.id for d in group.devices))
+
+
+class TpuBackend(Backend):
+    """Mesh-of-devices backend (works on TPU, and on CPU with
+    ``--xla_force_host_platform_device_count`` for tests)."""
+
+    def __init__(
+        self,
+        devices: Optional[Sequence[Any]] = None,
+        coordinator_address: Optional[str] = None,
+        num_processes: Optional[int] = None,
+        process_id: Optional[int] = None,
+    ):
+        super().__init__()
+        self._coordinator = (coordinator_address, num_processes, process_id)
+        self._devices = list(devices) if devices is not None else None
+        self._default_group: Optional[CommGroup] = None
+        self._groups: List[CommGroup] = []
+        self._prog_cache: Dict[Tuple, Any] = {}
+        self._initialized = False
+        self._init_collective_fns()
+        self._init_compute_fns()
+
+    # ------------------------------------------------------------------ init
+    def initialize(self) -> None:
+        """Bootstrap. Multi-host: ``jax.distributed.initialize`` replaces the
+        reference's TCPStore + ``dist.init_process_group`` rendezvous
+        (pytorch_dist_backend.py:1145-1200)."""
+        if self._initialized:
+            return
+        coord, nproc, pid = self._coordinator
+        if coord is not None:
+            jax.distributed.initialize(
+                coordinator_address=coord, num_processes=nproc, process_id=pid
+            )
+        if self._devices is None:
+            self._devices = list(jax.devices())
+        self._default_group = self._make_group(self._devices, pg_id=0, name="world")
+        self._groups = [self._default_group]
+        self._initialized = True
+        log.info(
+            "TpuBackend initialized: %d devices (%s)",
+            len(self._devices),
+            self._devices[0].platform if self._devices else "none",
+        )
+
+    def _make_group(self, devices, pg_id=0, name="") -> CommGroup:
+        mesh = Mesh(np.asarray(devices, dtype=object), (AXIS,))
+        return CommGroup(devices=list(devices), mesh=mesh, axis=AXIS, pg_id=pg_id, name=name)
+
+    def new_group(self, ranks: Sequence[int], pg_id: int = 0) -> CommGroup:
+        """Create a communicator over a rank subset
+        (reference: initialize_groups, pytorch_dist_backend.py:1202-1251)."""
+        devs = [self._devices[r] for r in ranks]
+        g = self._make_group(devs, pg_id=pg_id, name=f"pg{pg_id}")
+        self._groups.append(g)
+        return g
+
+    def make_round_robin_groups(self, num_groups: int) -> List[CommGroup]:
+        """``--multi-comms`` style round-robin rank→group assignment
+        (reference: comms.py:1443-1456)."""
+        world = len(self._devices)
+        groups = []
+        for g in range(num_groups):
+            ranks = list(range(g, world, num_groups)) or [g % world]
+            groups.append(self.new_group(ranks, pg_id=g + 1))
+        return groups
+
+    # -------------------------------------------------------------- topology
+    def get_local_rank(self) -> int:
+        return jax.process_index()
+
+    def get_global_rank(self) -> int:
+        return jax.process_index()
+
+    def get_world_size(self) -> int:
+        return len(self._devices)
+
+    def get_device(self):
+        return self._devices[0]
+
+    def get_default_group(self) -> CommGroup:
+        return self._default_group
+
+    def get_groups(self) -> List[CommGroup]:
+        return list(self._groups)
+
+    # ---------------------------------------------------------------- memory
+    def _sharding(self, group: CommGroup):
+        return NamedSharding(group.mesh, P(group.axis))
+
+    def _global_shape(self, local_shape, group: CommGroup):
+        local_shape = tuple(local_shape)
+        return (local_shape[0] * group.size,) + local_shape[1:]
+
+    def alloc_random(self, local_shape, dtype, group=None, seed=0):
+        """Per-rank random tensor → one global array sharded over the group
+        (reference: alloc_random, pytorch_backend_utils.py:326-336)."""
+        group = group or self._default_group
+        gshape = self._global_shape(local_shape, group)
+        if np.issubdtype(np.dtype(dtype), np.integer):
+            arr = np.random.default_rng(seed).integers(0, 64, size=gshape)
+        else:
+            arr = np.random.default_rng(seed).random(size=gshape)
+        return jax.device_put(arr.astype(dtype), self._sharding(group))
+
+    def alloc_ones(self, local_shape, dtype, group=None, scale=1.0):
+        group = group or self._default_group
+        gshape = self._global_shape(local_shape, group)
+        arr = np.full(gshape, scale, dtype=np.dtype(dtype))
+        return jax.device_put(arr, self._sharding(group))
+
+    def alloc_empty(self, local_shape, dtype, group=None):
+        return self.alloc_ones(local_shape, dtype, group, scale=0.0)
+
+    def alloc_per_rank(self, fn, group=None):
+        """Build a global array from a per-rank numpy constructor
+        ``fn(rank) -> np.ndarray`` (all local shapes must match)."""
+        group = group or self._default_group
+        parts = [np.asarray(fn(r)) for r in range(group.size)]
+        arr = np.concatenate(parts, axis=0)
+        return jax.device_put(arr, self._sharding(group))
+
+    def local_shards(self, tensor, group=None) -> List[np.ndarray]:
+        """Fetch the per-rank shards of a global array (for dcheck/report)."""
+        group = group or self._default_group
+        n = group.size
+        arr = np.asarray(tensor)
+        return np.split(arr, n, axis=0)
+
+    # ------------------------------------------------------- program cache
+    def _cached(self, key, builder):
+        prog = self._prog_cache.get(key)
+        if prog is None:
+            prog = builder()
+            self._prog_cache[key] = prog
+        return prog
+
+    def _smap(self, group: CommGroup, body, out_specs=None, donate=False, n_args=1,
+              check_vma=True):
+        in_specs = tuple(P(group.axis) for _ in range(n_args))
+        if len(in_specs) == 1:
+            in_specs = P(group.axis)
+        f = jax.shard_map(
+            body,
+            mesh=group.mesh,
+            in_specs=in_specs,
+            out_specs=out_specs if out_specs is not None else P(group.axis),
+            check_vma=check_vma,
+        )
+        # NOTE: no donate_argnums — benchmarks reuse prepared input tensors
+        # across iterations (reference semantics: prepComm once per size,
+        # comms.py:1300), and a donated buffer dies on first use.
+        return jax.jit(f)
+
+    # ------------------------------------------------------------ collectives
+    def _init_collective_fns(self):
+        self.collective_fn = {
+            "all_reduce": self.all_reduce,
+            "reduce": self.reduce,
+            "all_gather": self.all_gather,
+            "all_gather_base": self.all_gather,
+            "all_gather_v": self.all_gather_v,
+            "reduce_scatter": self.reduce_scatter,
+            "reduce_scatter_base": self.reduce_scatter,
+            "reduce_scatter_v": self.reduce_scatter_v,
+            "all_to_all": self.all_to_all,
+            "all_to_all_single": self.all_to_all,
+            "all_to_allv": self.all_to_allv,
+            "broadcast": self.broadcast,
+            "gather": self.gather,
+            "scatter": self.scatter,
+            "incast": self.incast,
+            "multicast": self.multicast,
+            "pt2pt": self.send_recv,
+            "barrier": lambda args: self.barrier(args.group),
+            "noop": lambda args: args.in_tensor,
+        }
+        missing = set(SUPPORTED_COLLECTIVES) - set(self.collective_fn)
+        assert not missing, f"unimplemented collectives: {missing}"
+
+    @staticmethod
+    def _reduce_body(red_op: str, axis: str):
+        if red_op == "sum":
+            return lambda x: lax.psum(x, axis)
+        if red_op == "max":
+            return lambda x: lax.pmax(x, axis)
+        if red_op == "min":
+            return lambda x: lax.pmin(x, axis)
+        if red_op == "avg":
+            return lambda x: lax.pmean(x, axis)
+        if red_op == "prod":
+            return lambda x: jnp.prod(lax.all_gather(x, axis), axis=0)
+        raise ValueError(f"unsupported reduction {red_op!r}")
+
+    def all_reduce(self, args: CollectiveArgs):
+        g = args.group or self._default_group
+        key = (_group_key(g), "all_reduce", args.red_op)
+        body = self._reduce_body(args.red_op, g.axis)
+        prog = self._cached(key, lambda: self._smap(g, body))
+        return self.track(prog(args.in_tensor))
+
+    def reduce(self, args: CollectiveArgs):
+        g = args.group or self._default_group
+        root = args.dst_rank
+        key = (_group_key(g), "reduce", args.red_op, root)
+        red = self._reduce_body(args.red_op, g.axis)
+
+        def body(x):
+            y = red(x)
+            me = lax.axis_index(g.axis)
+            return jnp.where(me == root, y, jnp.zeros_like(y))
+
+        prog = self._cached(key, lambda: self._smap(g, body))
+        return self.track(prog(args.in_tensor))
+
+    def all_gather(self, args: CollectiveArgs):
+        g = args.group or self._default_group
+        key = (_group_key(g), "all_gather")
+        body = lambda x: lax.all_gather(x, g.axis, tiled=True)  # noqa: E731
+        prog = self._cached(key, lambda: self._smap(g, body))
+        return self.track(prog(args.in_tensor))
+
+    def _ragged_native(self) -> bool:
+        """ragged-all-to-all is only lowered on TPU; CPU tests and the
+        multichip dry-run use the padded emulation."""
+        return self._devices and self._devices[0].platform == "tpu"
+
+    def all_gather_v(self, args: CollectiveArgs):
+        """Ragged all_gather: rank r contributes ``in_split[r]`` elements out
+        of its (max-padded) local buffer; every rank receives the ragged
+        concat (reference semantics: all_gather_v,
+        pytorch_dist_backend.py:436-474).
+
+        TPU: ``ragged_all_to_all`` with every receiver getting every chunk.
+        CPU fallback: padded ``all_gather`` + static gather-compress.
+        """
+        g = args.group or self._default_group
+        n = g.size
+        splits = list(args.in_split or [args.in_tensor.shape[0] // n] * n)
+        total = sum(splits)
+        key = (_group_key(g), "all_gather_v", tuple(splits), self._ragged_native())
+
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(splits[:-1], out=offs[1:])
+        mx = args.in_tensor.shape[0] // n  # local (padded) size
+
+        def body_native(x):
+            me = lax.axis_index(g.axis)
+            my_size = jnp.asarray(splits)[me]
+            out = jnp.zeros((total,) + x.shape[1:], x.dtype)
+            input_offsets = jnp.zeros((n,), jnp.int32)
+            send_sizes = jnp.broadcast_to(my_size, (n,)).astype(jnp.int32)
+            output_offsets = jnp.broadcast_to(
+                jnp.asarray(offs, jnp.int32)[me], (n,)
+            )
+            recv_sizes = jnp.asarray(splits, jnp.int32)
+            return lax.ragged_all_to_all(
+                x, out, input_offsets, send_sizes, output_offsets, recv_sizes,
+                axis_name=g.axis,
+            )
+
+        compress = np.concatenate(
+            [r * mx + np.arange(splits[r]) for r in range(n)]
+        ).astype(np.int32)
+
+        def body_padded(x):
+            y = lax.all_gather(x, g.axis, tiled=True)
+            return jnp.take(y, jnp.asarray(compress), axis=0)
+
+        body = body_native if self._ragged_native() else body_padded
+        prog = self._cached(
+            key, lambda: self._smap(g, body, out_specs=P(), check_vma=False)
+        )
+        return self.track(prog(args.in_tensor))
+
+    def reduce_scatter(self, args: CollectiveArgs):
+        g = args.group or self._default_group
+        if args.red_op != "sum":
+            # compose: all_reduce then slice own shard
+            def body(x):
+                y = self._reduce_body(args.red_op, g.axis)(x)
+                me = lax.axis_index(g.axis)
+                shard = x.shape[0] // g.size
+                return lax.dynamic_slice_in_dim(y, me * shard, shard, 0)
+
+            key = (_group_key(g), "reduce_scatter", args.red_op)
+            prog = self._cached(key, lambda: self._smap(g, body))
+            return self.track(prog(args.in_tensor))
+        key = (_group_key(g), "reduce_scatter", "sum")
+        body = lambda x: lax.psum_scatter(x, g.axis, tiled=True)  # noqa: E731
+        prog = self._cached(key, lambda: self._smap(g, body))
+        return self.track(prog(args.in_tensor))
+
+    def reduce_scatter_v(self, args: CollectiveArgs):
+        """Ragged reduce_scatter: rank r receives ``out_split[r]`` reduced
+        elements.  psum then rank-dependent slice (padded to max split so the
+        SPMD output shape is static)."""
+        g = args.group or self._default_group
+        n = g.size
+        splits = list(args.out_split or args.in_split or [args.in_tensor.shape[0] // n] * n)
+        mx = max(splits)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(splits[:-1], out=offs[1:])
+        key = (_group_key(g), "reduce_scatter_v", tuple(splits))
+
+        def body(x):
+            y = lax.psum(x, g.axis)
+            me = lax.axis_index(g.axis)
+            start = jnp.asarray(offs, jnp.int32)[me]
+            return lax.dynamic_slice_in_dim(y, start, mx, 0)
+
+        prog = self._cached(key, lambda: self._smap(g, body))
+        return self.track(prog(args.in_tensor))
+
+    def all_to_all(self, args: CollectiveArgs):
+        g = args.group or self._default_group
+        key = (_group_key(g), "all_to_all")
+        # tiled 1-D all_to_all: split local axis 0 into n chunks, exchange
+        body = lambda x: lax.all_to_all(x, g.axis, 0, 0, tiled=True)  # noqa: E731
+        prog = self._cached(key, lambda: self._smap(g, body))
+        return self.track(prog(args.in_tensor))
+
+    def all_to_allv(self, args: CollectiveArgs):
+        """Ragged all-to-all via ``lax.ragged_all_to_all``.
+
+        ``in_split`` is either a 1-D per-destination element count shared by
+        all ranks, or an (n, n) matrix S with S[i, j] = elements rank i sends
+        to rank j (reference: all_to_allv, pytorch_dist_backend.py:316-334).
+        """
+        g = args.group or self._default_group
+        n = g.size
+        x = args.in_tensor
+        if args.in_split is None:
+            return self.all_to_all(args)
+        S = np.asarray(args.in_split, dtype=np.int64)
+        if S.ndim == 1:
+            S = np.tile(S, (n, 1))
+        assert S.shape == (n, n), f"split matrix must be ({n},{n}), got {S.shape}"
+        # input_offsets[i, j]: offset in rank i's operand of chunk for rank j
+        in_offs = np.zeros_like(S)
+        in_offs[:, 1:] = np.cumsum(S[:, :-1], axis=1)
+        # output_offsets[i, j]: where rank i's chunk lands in rank j's output
+        out_offs = np.zeros_like(S)
+        out_offs[1:, :] = np.cumsum(S[:-1, :], axis=0)
+        # every rank's receive buffer is padded to the max ragged receive so
+        # the SPMD output shape is static; out_specs=P(axis) (receives differ
+        # per rank)
+        recv_max = int(S.sum(axis=0).max())
+        key = (_group_key(g), "all_to_allv", S.tobytes(), self._ragged_native())
+
+        def body_native(x):
+            me = lax.axis_index(g.axis)
+            out = jnp.zeros((recv_max,) + x.shape[1:], x.dtype)
+            input_offsets = jnp.asarray(in_offs, jnp.int32)[me]
+            send_sizes = jnp.asarray(S, jnp.int32)[me]
+            output_offsets = jnp.asarray(out_offs, jnp.int32)[me]
+            recv_sizes = jnp.asarray(S.T, jnp.int32)[me]
+            return lax.ragged_all_to_all(
+                x, out, input_offsets, send_sizes, output_offsets, recv_sizes,
+                axis_name=g.axis,
+            )
+
+        # CPU fallback: pack chunks padded to max split, plain all_to_all,
+        # gather-compress on the receive side.  All index matrices are static.
+        mx = int(S.max())
+        pack_src = np.zeros((n, n * mx), dtype=np.int32)
+        pack_valid = np.zeros((n, n * mx), dtype=bool)
+        for i in range(n):
+            for j in range(n):
+                t = np.arange(mx)
+                pack_src[i, j * mx : (j + 1) * mx] = np.minimum(
+                    in_offs[i, j] + t, S[i].sum() - 1 if S[i].sum() else 0
+                )
+                pack_valid[i, j * mx : (j + 1) * mx] = t < S[i, j]
+        unpack_src = np.zeros((n, recv_max), dtype=np.int32)
+        unpack_valid = np.zeros((n, recv_max), dtype=bool)
+        for r in range(n):
+            for k in range(n):
+                cnt = int(S[k, r])
+                o = int(out_offs[k, r])
+                unpack_src[r, o : o + cnt] = k * mx + np.arange(cnt)
+                unpack_valid[r, o : o + cnt] = True
+
+        def body_padded(x):
+            me = lax.axis_index(g.axis)
+            src = jnp.asarray(pack_src)[me]
+            valid = jnp.asarray(pack_valid)[me]
+            packed = jnp.where(
+                valid.reshape((-1,) + (1,) * (x.ndim - 1)),
+                jnp.take(x, src, axis=0),
+                0,
+            ).astype(x.dtype)
+            mixed = lax.all_to_all(packed, g.axis, 0, 0, tiled=True)
+            usrc = jnp.asarray(unpack_src)[me]
+            uvalid = jnp.asarray(unpack_valid)[me]
+            return jnp.where(
+                uvalid.reshape((-1,) + (1,) * (x.ndim - 1)),
+                jnp.take(mixed, usrc, axis=0),
+                0,
+            ).astype(x.dtype)
+
+        body = body_native if self._ragged_native() else body_padded
+        prog = self._cached(key, lambda: self._smap(g, body))
+        return self.track(prog(x))
+
+    def broadcast(self, args: CollectiveArgs):
+        """Rooted broadcast as masked psum — root contributes x, everyone
+        else zeros (XLA has no rooted broadcast primitive; the masked psum
+        moves the same payload over the ring)."""
+        g = args.group or self._default_group
+        root = args.src_rank
+        key = (_group_key(g), "broadcast", root)
+
+        def body(x):
+            me = lax.axis_index(g.axis)
+            contrib = jnp.where(me == root, x, jnp.zeros_like(x))
+            return lax.psum(contrib, g.axis)
+
+        prog = self._cached(key, lambda: self._smap(g, body))
+        return self.track(prog(args.in_tensor))
+
+    def gather(self, args: CollectiveArgs):
+        g = args.group or self._default_group
+        root = args.dst_rank
+        key = (_group_key(g), "gather", root)
+
+        def body(x):
+            y = lax.all_gather(x, g.axis, tiled=True)
+            me = lax.axis_index(g.axis)
+            return jnp.where(me == root, y, jnp.zeros_like(y))
+
+        prog = self._cached(key, lambda: self._smap(g, body))
+        return self.track(prog(args.in_tensor))
+
+    def scatter(self, args: CollectiveArgs):
+        """Rooted scatter via masked all_to_all: root supplies real chunks,
+        others zeros; every rank keeps the chunk whose sender is root."""
+        g = args.group or self._default_group
+        root = args.src_rank
+        n = g.size
+        key = (_group_key(g), "scatter", root)
+
+        def body(x):
+            me = lax.axis_index(g.axis)
+            contrib = jnp.where(me == root, x, jnp.zeros_like(x))
+            mixed = lax.all_to_all(contrib, g.axis, 0, 0, tiled=True)
+            chunk = x.shape[0] // n
+            return lax.dynamic_slice_in_dim(mixed, root * chunk, chunk, 0)
+
+        prog = self._cached(key, lambda: self._smap(g, body))
+        return self.track(prog(args.in_tensor))
+
+    def incast(self, args: CollectiveArgs):
+        """Many-to-one: ``dst_rank`` receives one buffer from each rank in
+        ``src_ranks`` (reference composes batched isend/irecv,
+        comms.py:809-860).  Masked all_gather keeps it one XLA collective."""
+        g = args.group or self._default_group
+        dst = args.dst_rank
+        srcs = tuple(args.src_ranks or [r for r in range(g.size) if r != dst])
+        key = (_group_key(g), "incast", dst, srcs)
+
+        def body(x):
+            me = lax.axis_index(g.axis)
+            send = jnp.isin(me, jnp.asarray(srcs))
+            contrib = jnp.where(send, x, jnp.zeros_like(x))
+            y = lax.all_gather(contrib, g.axis, tiled=True)
+            return jnp.where(me == dst, y, jnp.zeros_like(y))
+
+        prog = self._cached(key, lambda: self._smap(g, body))
+        return self.track(prog(args.in_tensor))
+
+    def multicast(self, args: CollectiveArgs):
+        """One-to-many: ``src_rank`` sends its buffer to every rank in
+        ``dst_ranks`` (reference: comms.py:809-860)."""
+        g = args.group or self._default_group
+        src = args.src_rank
+        dsts = tuple(args.dst_ranks or [r for r in range(g.size) if r != src])
+        key = (_group_key(g), "multicast", src, dsts)
+
+        def body(x):
+            me = lax.axis_index(g.axis)
+            contrib = jnp.where(me == src, x, jnp.zeros_like(x))
+            y = lax.psum(contrib, g.axis)
+            keep = jnp.logical_or(jnp.isin(me, jnp.asarray(dsts)), me == src)
+            return jnp.where(keep, y, jnp.zeros_like(y))
+
+        prog = self._cached(key, lambda: self._smap(g, body))
+        return self.track(prog(args.in_tensor))
+
+    # ------------------------------------------------------------------ p2p
+    def send_recv(self, args: CollectiveArgs):
+        """Point-to-point transfers as a single ``ppermute`` with one edge
+        per (src, dst) pair (reference send/recv:
+        pytorch_dist_backend.py:626-701)."""
+        g = args.group or self._default_group
+        pairs = tuple(zip(args.src_ranks, args.dst_ranks))
+        key = (_group_key(g), "pt2pt", pairs)
+
+        def body(x):
+            return lax.ppermute(x, g.axis, perm=list(pairs))
+
+        prog = self._cached(key, lambda: self._smap(g, body))
+        return self.track(prog(args.in_tensor))
+
+    def ping(self, args: CollectiveArgs, pong: bool = False):
+        """One jitted program for ping (src→dst) or ping-pong (src→dst→src),
+        used by the pt2pt latency benches (reference: comms.py:581-660)."""
+        g = args.group or self._default_group
+        pairs = tuple(zip(args.src_ranks, args.dst_ranks))
+        key = (_group_key(g), "ping", pairs, pong)
+
+        def body(x):
+            y = lax.ppermute(x, g.axis, perm=list(pairs))
+            if pong:
+                y = lax.ppermute(y, g.axis, perm=[(d, s) for s, d in pairs])
+            return y
+
+        prog = self._cached(key, lambda: self._smap(g, body))
+        return self.track(prog(args.in_tensor))
+
+    def window_send(self, args: CollectiveArgs, window: int, bidirectional: bool):
+        """A window of back-to-back sends in one compiled program — the
+        uni-BW / bi-BW window test (reference: comms.py:661-765).  The chain
+        is a ``lax.scan`` so XLA issues ``window`` transfers without host
+        dispatch in between."""
+        g = args.group or self._default_group
+        pairs = list(zip(args.src_ranks, args.dst_ranks))
+        if bidirectional:
+            pairs = pairs + [(d, s) for s, d in pairs]
+        key = (_group_key(g), "window", tuple(pairs), window)
+
+        def body(x):
+            def step(carry, _):
+                y = lax.ppermute(carry, g.axis, perm=pairs)
+                return y, None
+
+            out, _ = lax.scan(step, x, None, length=window)
+            return out
+
+        prog = self._cached(key, lambda: self._smap(g, body))
+        return self.track(prog(args.in_tensor))
+
+    # ------------------------------------------------------------ graph mode
+    def run_coll_graph(self, collective: str, args: CollectiveArgs, n_iters: int):
+        """Run ``n_iters`` chained collectives inside ONE compiled program
+        (a ``lax.scan`` over the collective body) — the analogue of the
+        reference's CUDA-graph mode (``run_coll_cuda_graph``, comms.py:375):
+        measures pure collective throughput without per-iteration dispatch.
+        Only shape-preserving collectives can chain."""
+        g = args.group or self._default_group
+        if collective not in ("all_reduce", "all_to_all", "all_to_all_single", "pt2pt"):
+            raise ValueError(f"graph mode unsupported for {collective}")
+        if collective == "all_reduce":
+            red = self._reduce_body(args.red_op, g.axis)
+            # psum output is replicated; pcast re-marks it rank-varying so the
+            # scan carry type is stable
+            inner = lambda x: lax.pcast(red(x), g.axis, to="varying")  # noqa: E731
+        elif collective == "pt2pt":
+            pairs = list(zip(args.src_ranks, args.dst_ranks))
+            inner = lambda x: lax.ppermute(x, g.axis, perm=pairs)  # noqa: E731
+        else:
+            inner = lambda x: lax.all_to_all(x, g.axis, 0, 0, tiled=True)  # noqa: E731
+        key = (_group_key(g), "graph", collective, args.red_op, n_iters)
+
+        def body(x):
+            def step(carry, _):
+                return inner(carry), None
+
+            out, _ = lax.scan(step, x, None, length=n_iters)
+            return out
+
+        prog = self._cached(key, lambda: self._smap(g, body))
+        return self.track(prog(args.in_tensor))
+
+    # ---------------------------------------------------------------- control
+    def barrier(self, group: Optional[CommGroup] = None) -> None:
+        """Global sync: a 1-element psum everyone blocks on
+        (reference: barrier/xm.rendezvous)."""
+        g = group or self._default_group
+        key = (_group_key(g), "barrier")
+
+        def body(x):
+            return lax.psum(x, g.axis)
+
+        prog = self._cached(key, lambda: self._smap(g, body, out_specs=P()))
+        x = self.alloc_ones((1,), jnp.float32, g)
+        jax.block_until_ready(prog(x))
+
+    # ---------------------------------------------------------------- compute
+    def _init_compute_fns(self):
+        """Compute kernels for the comms+compute overlap bench
+        (reference: pytorch_dist_backend.py:793-857)."""
+        from param_tpu.ops import matmul as _mm
+
+        def gemm(a, b):
+            return _mm.matmul(a, b)
+
+        self.compute_fn = {
+            "gemm": jax.jit(gemm),
+            "add": jax.jit(lambda a, b: a + b),
+            "sub": jax.jit(lambda a, b: a - b),
+            "copy": jax.jit(lambda a: a + 0),
+        }
+
+    def emb_lookup(self, table, indices, offsets=None):
+        from param_tpu.ops.embedding import embedding_bag
+
+        return embedding_bag(table, indices, offsets)
+
+
+register_backend("tpu", TpuBackend)
+register_backend("xla", TpuBackend)

@@ -1,0 +1,208 @@
+"""EmbeddingBag: sum-pooled sparse embedding lookup.
+
+The north-star compute kernel (reference: ``train/compute/pt/pytorch_emb.py``
+— ``nn.EmbeddingBag(mode="sum")`` / fbgemm, and the ``XlaEmbeddingBag``
+gather workaround at pytorch_emb.py:14-34).  Two TPU paths:
+
+- :func:`embedding_bag` — XLA ``take`` + sum over the nnz axis.
+- :func:`embedding_bag_pallas` — Pallas kernel: manual double-buffered
+  per-row DMA gather (table stays in HBM), the TPU shape of the fbgemm
+  batched-embedding kernel.
+
+Measured on TPU v5e (1M×128 f32 table, batch 8192, nnz 32):
+
+===========================  =========  =====================================
+path                         GB/s       limiter
+===========================  =========  =====================================
+XLA take, 1M-row table          ~51     XLA row-granular gather loop
+XLA take, ≤128k-row table      ~200     (XLA switches strategy: VMEM-chunked)
+Pallas DMA gather               ~31     DMA issue rate ≈16 ns/row (scalar core)
+HBM stream roofline            ~819     n/a for random row gather on v5e
+===========================  =========  =====================================
+
+v5e has no SparseCore, so random single-row (512 B) gathers are issue-bound,
+not bandwidth-bound.  The system-level fix — and PARAM's own DLRM design — is
+row-sharding tables across chips (``param_tpu.models.dlrm``): each chip then
+gathers from a table 1/N the size (faster per the table above) with N× the
+aggregate HBM bandwidth, paying one all-to-all to redistribute IDs/pooled
+rows over ICI.
+
+Ragged bags are handled by padding each bag to a fixed ``nnz`` with an index
+pointing at a zero "pad row" appended to the table — no masking in the hot
+kernel (see :func:`pad_ragged_indices`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def embedding_bytes(batch: int, nnz: int, dim: int, elem_size: int = 4) -> int:
+    """HBM bytes a sum-pooled lookup must move
+    (reference BW formula: pytorch_emb.py:180,232)."""
+    return batch * nnz * dim * elem_size
+
+
+def pad_ragged_indices(
+    indices: np.ndarray, offsets: np.ndarray, num_rows: int, max_nnz: Optional[int] = None
+) -> Tuple[np.ndarray, int]:
+    """Convert (indices, offsets) CSR bags into a dense (batch, max_nnz)
+    index matrix whose padding points at row ``num_rows`` (the zero pad row).
+    Returns (dense_indices, max_nnz)."""
+    lengths = np.diff(np.append(offsets, len(indices)))
+    batch = len(lengths)
+    if max_nnz is None:
+        max_nnz = int(lengths.max()) if batch else 0
+    out = np.full((batch, max_nnz), num_rows, dtype=np.int32)
+    for b in range(batch):
+        l = int(lengths[b])
+        out[b, :l] = indices[offsets[b] : offsets[b] + l]
+    return out, max_nnz
+
+
+def with_pad_row(table):
+    """Append one zero row to serve as the padding target."""
+    pad = jnp.zeros((1, table.shape[1]), table.dtype)
+    return jnp.concatenate([table, pad], axis=0)
+
+
+@jax.jit
+def embedding_bag(table, dense_indices, weights=None):
+    """XLA path: gather + sum over the nnz axis.
+
+    ``dense_indices``: (batch, nnz) int32, padded with a valid row id
+    (use :func:`with_pad_row` + :func:`pad_ragged_indices` for ragged bags).
+    """
+    rows = jnp.take(table, dense_indices, axis=0)  # (B, nnz, D)
+    if weights is not None:
+        rows = rows * weights[..., None]
+    return jnp.sum(rows.astype(jnp.float32), axis=1).astype(table.dtype)
+
+
+# Row-DMA issue loop unroll factor (Mosaic fori_loop only supports full or
+# manual unrolling; 8 recovers most of the loop overhead).
+_UNROLL = 8
+
+
+def _emb_gather_kernel(
+    idx_hbm_ref,  # HBM: (n_tiles, 1, tile_bags*nnz) int32
+    table_ref,  # HBM: (rows, 1, dim) — leading-dim indexing keeps the last
+    #             two dims whole, satisfying Mosaic's DMA tiling rules
+    o_ref,  # VMEM out block: (tile_bags, dim)
+    rows_ref,  # VMEM scratch: (2, tile_bags*nnz, 1, dim)
+    idx_ref,  # SMEM scratch: (1, tile_bags*nnz) — current lookahead chunk
+    row_sems,  # DMA semaphores (2,): one per row buffer slot
+    idx_sem,  # DMA semaphore for the index chunk copy
+    *,
+    nnz: int,
+    tile_bags: int,
+):
+    """Fetch-ahead row gather: while the VPU sum-pools tile i's rows, the DMA
+    engine is already streaming tile i+1's rows HBM→VMEM (one async copy per
+    embedding row, double-buffered across grid steps).  Index chunks are
+    themselves DMA'd HBM→SMEM (the full index array would blow the 1 MB SMEM
+    budget)."""
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    rpt = tile_bags * nnz
+
+    def idx_dma(tile):
+        return pltpu.make_async_copy(idx_hbm_ref.at[tile], idx_ref, idx_sem)
+
+    def issue_rows(slot):
+        def body(rr, _):
+            for u in range(_UNROLL):
+                r = rr * _UNROLL + u
+                row = idx_ref[0, r]
+                pltpu.make_async_copy(
+                    table_ref.at[row], rows_ref.at[slot, r], row_sems.at[slot]
+                ).start()
+            return 0
+
+        jax.lax.fori_loop(0, rpt // _UNROLL, body, 0)
+
+    @pl.when(i == 0)
+    def _():
+        idx_dma(0).start()
+        idx_dma(0).wait()
+        issue_rows(0)
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        idx_dma(i + 1).start()
+        idx_dma(i + 1).wait()
+        issue_rows((i + 1) % 2)
+
+    slot = i % 2
+    # One wait for the whole slot: DMA semaphores count transferred bytes, so
+    # a descriptor covering the full slot buffer drains all row copies.
+    pltpu.make_async_copy(
+        rows_ref.at[slot], rows_ref.at[slot], row_sems.at[slot]
+    ).wait()
+    rows = rows_ref[slot].reshape(tile_bags, nnz, -1)
+    o_ref[:] = jnp.sum(rows.astype(jnp.float32), axis=1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_bags",))
+def embedding_bag_pallas(table, dense_indices, tile_bags: int = 128):
+    """Pallas sum-pooling lookup: manual double-buffered HBM row-gather.
+
+    The table stays in HBM; each grid step sum-pools ``tile_bags`` bags whose
+    ``tile_bags*nnz`` rows were DMA'd during the previous step.  Issue-rate
+    bound on v5e (see module docstring) — kept as the kernel-tier reference
+    implementation and for fusing custom epilogues.
+
+    Requires ``nnz * tile_bags`` divisible by 8 (after the auto-shrink loop).
+    """
+    from param_tpu.ops.matmul import _interpret
+
+    batch, nnz = dense_indices.shape
+    nrows, dim = table.shape
+    while batch % tile_bags:
+        tile_bags //= 2
+    rpt = tile_bags * nnz
+    if rpt % _UNROLL:
+        raise ValueError(f"tile_bags*nnz={rpt} must be divisible by {_UNROLL}")
+    grid = (batch // tile_bags,)
+    idx3 = dense_indices.reshape(batch // tile_bags, 1, rpt)
+    table3 = table.reshape(nrows, 1, dim)
+
+    return pl.pallas_call(
+        functools.partial(_emb_gather_kernel, nnz=nnz, tile_bags=tile_bags),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tile_bags, dim), lambda i: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, rpt, 1, dim), table.dtype),
+            pltpu.SMEM((1, rpt), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        out_shape=jax.ShapeDtypeStruct((batch, dim), table.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=batch * nnz * dim,
+            bytes_accessed=embedding_bytes(batch, nnz, dim, table.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(idx3, table3)
+
+
+@jax.jit
+def embedding_bag_grad(table, dense_indices, grad_out):
+    """Backward of sum-pooled lookup: scatter-add of grad rows
+    (dtable[idx] += grad_out[bag]).  XLA segment-sum formulation."""
+    batch, nnz = dense_indices.shape
+    flat_idx = dense_indices.reshape(-1)
+    flat_grad = jnp.repeat(grad_out, nnz, axis=0)  # (B*nnz, D)
+    return jax.ops.segment_sum(flat_grad, flat_idx, num_segments=table.shape[0])
