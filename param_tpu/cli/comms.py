@@ -1,0 +1,93 @@
+"""CLI for the collective sweep benchmark.
+
+Flag surface mirrors the reference's ``comms.py`` main + ``readArgs``
+(``train/comms/pt/comms_utils.py:1713-1879``): ``--b/--e/--f/--i/--n/--w``
+nccl-tests sizing, ``--collective`` (comma list), ``--z`` blocking mode,
+``--c`` data check, ``--pt2pt`` patterns, ``--multi-comms``, ``--bitwidth``.
+
+Run:
+    python -m param_tpu.cli.comms --collective all_reduce --b 8 --e 64M
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="param_tpu.comms", description="PARAM-TPU collective benchmark"
+    )
+    ap.add_argument("--collective", "--coll", default="all_reduce",
+                    help="comma-separated collectives (see --list)")
+    ap.add_argument("--b", default="8", help="begin size (nccl-tests style)")
+    ap.add_argument("--e", default="64M", help="end size")
+    ap.add_argument("--f", type=int, default=2, help="multiplicative step factor")
+    ap.add_argument("--i", default=None, help="additive step bytes (overrides --f)")
+    ap.add_argument("--ss", default=None, help="explicit comma list of sizes")
+    ap.add_argument("--n", type=int, default=20, help="timed iterations")
+    ap.add_argument("--w", type=int, default=2, help="warmup iterations")
+    ap.add_argument("--data-type", default="float32")
+    ap.add_argument("--mode", default="dispatch",
+                    choices=["dispatch", "blocking", "graph"],
+                    help="timing mode (blocking == reference --z 1)")
+    ap.add_argument("--z", type=int, default=None,
+                    help="reference compat: 1 -> blocking mode")
+    ap.add_argument("--c", type=int, default=0, help="data validation (dcheck)")
+    ap.add_argument("--reduce-op", default="sum",
+                    choices=["sum", "max", "min", "avg", "prod"])
+    ap.add_argument("--src-rank", "--root", type=int, default=0)
+    ap.add_argument("--dst-rank", type=int, default=0)
+    ap.add_argument("--src-ranks", default="", help="comma ranks for incast/pt2pt")
+    ap.add_argument("--dst-ranks", default="", help="comma ranks for multicast/pt2pt")
+    ap.add_argument("--pt2pt", default=None, choices=[None, "one2one", "pairwise"])
+    ap.add_argument("--window", type=int, default=100, help="pt2pt BW window size")
+    ap.add_argument("--bitwidth", type=int, default=32,
+                    help="quantized comm bitwidth (16/8)")
+    ap.add_argument("--multi-comms", type=int, default=1,
+                    help="round-robin ranks into N groups")
+    ap.add_argument("--backend", default="tpu", help="registered backend name")
+    ap.add_argument("--num-devices", type=int, default=0,
+                    help="limit device count (0 = all)")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="measurement repetitions for percentiles")
+    ap.add_argument("--log", default="INFO")
+    ap.add_argument("--list", action="store_true", help="list collectives and exit")
+    return ap
+
+
+def main(argv=None) -> int:
+    ns = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=ns.log.upper(),
+        format="[%(asctime)s %(levelname)s] %(name)s: %(message)s",
+    )
+    from param_tpu.backend.base import SUPPORTED_COLLECTIVES, get_backend_cls
+    from param_tpu.comms.coll_bench import CollBench
+    from param_tpu.comms.harness import CommsParams
+
+    if ns.list:
+        print("\n".join(SUPPORTED_COLLECTIVES))
+        return 0
+    if ns.z is not None and ns.z == 1:
+        ns.mode = "blocking"
+
+    backend = get_backend_cls(ns.backend)()
+    backend.initialize()
+    if ns.num_devices:
+        import jax
+
+        devs = jax.devices()[: ns.num_devices]
+        backend = get_backend_cls(ns.backend)(devices=devs)
+        backend.initialize()
+
+    params = CommsParams.from_args(ns)
+    bench = CollBench(backend, params, reps=ns.reps)
+    bench.run()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

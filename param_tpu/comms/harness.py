@@ -1,0 +1,242 @@
+"""Comms benchmark harness: parameter holders, tensor prep, validation.
+
+TPU-native counterpart of the reference's ``paramCommsBench`` /
+``ParamCommsBenchBase`` (``train/comms/pt/comms_utils.py``): per-collective
+tensor preparation (``prepComm`` dispatch, comms_utils.py:1093-1695), data
+validation (``dcheck``, comms_utils.py:997-1055), and the layered parameter
+holder (``commsParamsHolder``, comms_utils.py:861-957).
+
+Size semantics (nccl-tests compatible, like the reference):
+``size`` is the per-rank message payload in bytes.  For aggregating
+collectives (all_gather/gather) the per-rank *input* is ``size/world`` so the
+gathered output is ``size``; for reduce_scatter the input is ``size`` and the
+output is ``size/world``; for everything else input == output == ``size``
+(reference ``fixBeginSize`` intent, comms_utils.py:99-137).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from param_tpu.backend.base import Backend, CollectiveArgs, CommGroup
+from param_tpu.comms.timing import TimingMode
+from param_tpu.utils.dtypes import dtype_from_name, dtype_size
+from param_tpu.utils.sizes import fix_begin_size, parse_size, size_sweep
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class CommsParams:
+    """CLI-level benchmark parameters
+    (reference: commsParamsHolder, comms_utils.py:861-957)."""
+
+    collectives: List[str] = field(default_factory=lambda: ["all_reduce"])
+    begin_size: int = 8
+    end_size: int = 64 * 1024 * 1024
+    step_factor: int = 2
+    step_bytes: int = 0
+    dtype: str = "float32"
+    num_iters: int = 20
+    num_warmup_iters: int = 2
+    mode: TimingMode = TimingMode.DISPATCH
+    dcheck: bool = False
+    red_op: str = "sum"
+    src_rank: int = 0
+    dst_rank: int = 0
+    src_ranks: List[int] = field(default_factory=list)
+    dst_ranks: List[int] = field(default_factory=list)
+    pt2pt: Optional[str] = None  # one2one | pairwise
+    window: int = 100
+    bitwidth: int = 32
+    quant_threshold: int = 0
+    num_groups: int = 1  # --multi-comms round-robin groups
+    in_split: Optional[List[int]] = None
+    out_split: Optional[List[int]] = None
+    size_list: Optional[List[int]] = None  # explicit --ss sizes
+
+    @classmethod
+    def from_args(cls, ns) -> "CommsParams":
+        """Build from an argparse namespace produced by cli.comms."""
+        p = cls()
+        p.collectives = [c.strip() for c in ns.collective.split(",")]
+        p.begin_size = parse_size(ns.b)
+        p.end_size = parse_size(ns.e)
+        p.step_factor = ns.f
+        p.step_bytes = parse_size(ns.i) if ns.i else 0
+        p.dtype = ns.data_type
+        p.num_iters = ns.n
+        p.num_warmup_iters = ns.w
+        p.mode = TimingMode(ns.mode)
+        p.dcheck = bool(ns.c)
+        p.red_op = ns.reduce_op
+        p.src_rank = ns.src_rank
+        p.dst_rank = ns.dst_rank
+        p.pt2pt = ns.pt2pt
+        p.window = ns.window
+        p.bitwidth = ns.bitwidth
+        p.num_groups = ns.multi_comms
+        if ns.src_ranks:
+            p.src_ranks = [int(r) for r in ns.src_ranks.split(",")]
+        if ns.dst_ranks:
+            p.dst_ranks = [int(r) for r in ns.dst_ranks.split(",")]
+        if ns.ss:
+            p.size_list = [parse_size(s) for s in ns.ss.split(",")]
+        return p
+
+
+# collectives whose per-rank input is size/world (the output aggregates)
+_GATHERING = {"all_gather", "all_gather_base", "all_gather_v", "gather"}
+# collectives that cannot run with world_size == 1 meaningfully
+NEEDS_WORLD = {"pt2pt", "incast", "multicast"}
+
+
+class CommsBench:
+    """Tensor prep + validation around a Backend
+    (reference: paramCommsBench, comms_utils.py:960-1695)."""
+
+    def __init__(self, backend: Backend, params: CommsParams):
+        self.backend = backend
+        self.params = params
+        self.dtype = dtype_from_name(params.dtype)
+        self.elem_size = dtype_size(self.dtype)
+
+    # ------------------------------------------------------------- sizes
+    def sweep_sizes(self, collective: str, group: CommGroup) -> List[int]:
+        p = self.params
+        if p.size_list:
+            return list(p.size_list)
+        begin = fix_begin_size(
+            collective, p.begin_size, group.size, self.elem_size
+        )
+        return size_sweep(
+            begin, max(p.end_size, begin), p.step_factor, p.step_bytes,
+            elem_size=self.elem_size,
+        )
+
+    # -------------------------------------------------------------- prep
+    def prep_comm(
+        self, collective: str, size_bytes: int, group: CommGroup
+    ) -> CollectiveArgs:
+        """Allocate input tensors for one (collective, size) point
+        (reference: prepComm dispatch, comms_utils.py:1590-1695).
+
+        Inputs are filled with the *rank pattern* (rank r shard == r+1) so
+        ``dcheck`` can validate outputs against closed-form expectations
+        (reference: setTensorVal, comms_utils.py:1057-1089).
+        """
+        p = self.params
+        n = group.size
+        elems = max(1, size_bytes // self.elem_size)
+        if collective in _GATHERING:
+            local = max(1, elems // n)
+        else:
+            local = max(n, elems) if collective in ("all_to_all", "all_to_allv",
+                                                    "all_to_all_single",
+                                                    "reduce_scatter",
+                                                    "reduce_scatter_base",
+                                                    "scatter") else elems
+            if collective in ("all_to_all", "all_to_allv", "all_to_all_single",
+                              "reduce_scatter", "reduce_scatter_base", "scatter"):
+                local = (local // n) * n or n
+        np_dtype = np.dtype(self.dtype) if self.dtype != np.dtype("bfloat16") else None
+
+        def mk(r):
+            return np.full((local,), r + 1, dtype=np.float32)
+
+        x = self.backend.alloc_per_rank(
+            lambda r: mk(r).astype(np_dtype or np.float32), group
+        )
+        if np_dtype is None:
+            import jax.numpy as jnp
+
+            x = x.astype(self.dtype)
+        return CollectiveArgs(
+            group=group,
+            in_tensor=x,
+            red_op=p.red_op,
+            src_rank=p.src_rank,
+            dst_rank=p.dst_rank,
+            src_ranks=list(p.src_ranks),
+            dst_ranks=list(p.dst_ranks),
+            window=p.window,
+            bitwidth=p.bitwidth,
+            in_split=p.in_split,
+            out_split=p.out_split,
+        )
+
+    def payload_bytes(self, collective: str, size_bytes: int, group: CommGroup) -> int:
+        """Bytes figure used in the algBW formula — per-rank message payload
+        (the sweep ``size`` itself, per nccl-tests convention)."""
+        return size_bytes
+
+    # ------------------------------------------------------------- dcheck
+    def dcheck(self, collective: str, args: CollectiveArgs, out) -> bool:
+        """Validate output against the rank-pattern expectation
+        (reference: dcheck, comms_utils.py:997-1055).  Returns True if OK."""
+        g = args.group or self.backend.get_default_group()
+        n = g.size
+        shards = self.backend.local_shards(out, g)
+        tol = 1e-2 if self.elem_size <= 2 else 1e-5
+        ranks_sum = n * (n + 1) / 2.0
+
+        def close(a, v):
+            return np.allclose(np.asarray(a, dtype=np.float64), v, rtol=tol, atol=tol)
+
+        ok = True
+        if collective == "all_reduce":
+            expect = {
+                "sum": ranks_sum, "max": float(n), "min": 1.0,
+                "avg": (n + 1) / 2.0,
+            }.get(args.red_op)
+            if expect is None:
+                return True
+            ok = all(close(s, expect) for s in shards)
+        elif collective == "reduce":
+            ok = close(shards[args.dst_rank], ranks_sum) and all(
+                close(s, 0.0) for r, s in enumerate(shards) if r != args.dst_rank
+            )
+        elif collective in ("all_gather", "all_gather_base"):
+            per = len(shards[0]) // n
+            expect = np.repeat(np.arange(1, n + 1, dtype=np.float64), per)
+            ok = all(close(s, expect) for s in shards)
+        elif collective in ("reduce_scatter", "reduce_scatter_base"):
+            ok = all(close(s, ranks_sum) for s in shards)
+        elif collective in ("all_to_all", "all_to_all_single"):
+            per = len(shards[0]) // n
+            expect = np.repeat(np.arange(1, n + 1, dtype=np.float64), per)
+            ok = all(close(s, expect) for s in shards)
+        elif collective == "broadcast":
+            ok = all(close(s, args.src_rank + 1) for s in shards)
+        elif collective == "gather":
+            per = len(shards[0]) // n
+            expect = np.repeat(np.arange(1, n + 1, dtype=np.float64), per)
+            ok = close(shards[args.dst_rank], expect)
+        elif collective == "scatter":
+            ok = all(close(s, args.src_rank + 1) for s in shards)
+        elif collective == "multicast":
+            dsts = args.dst_ranks or [r for r in range(n) if r != args.src_rank]
+            ok = all(close(shards[d], args.src_rank + 1) for d in dsts)
+        elif collective == "incast":
+            srcs = args.src_ranks or [r for r in range(n) if r != args.dst_rank]
+            per = len(shards[0]) // n
+            got = shards[args.dst_rank]
+            ok = all(
+                close(got[s * per : (s + 1) * per], s + 1) for s in srcs
+            )
+        elif collective == "pt2pt":
+            for s_rank, d_rank in zip(args.src_ranks, args.dst_ranks):
+                ok = ok and close(shards[d_rank], s_rank + 1)
+        if not ok:
+            log.error("dcheck FAILED for %s", collective)
+        return ok
+
+    # --------------------------------------------------------------- groups
+    def make_groups(self) -> List[CommGroup]:
+        if self.params.num_groups > 1:
+            return self.backend.make_round_robin_groups(self.params.num_groups)
+        return [self.backend.get_default_group()]

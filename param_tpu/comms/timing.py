@@ -1,0 +1,91 @@
+"""Measurement methodology for async-dispatch runtimes.
+
+The reference times eager CUDA ops with host timers + events
+(``comms.py:458-521``).  JAX dispatch is asynchronous and (on remote-attached
+TPUs) a blocking round trip can cost tens of milliseconds, so one blocking
+call per iteration would measure the tunnel, not the collective.  Two modes:
+
+- **dispatch** (default): enqueue ``n_hi`` calls back-to-back and block once,
+  then enqueue 1 call and block; per-op time = (t_hi - t_lo)/(n_hi - 1).
+  The delta cancels the fixed dispatch/round-trip latency the same way
+  nccl-tests' warmup+averaging does, without requiring device-side timers.
+- **graph**: run the op inside one compiled ``lax.scan`` chain (the
+  reference's CUDA-graph mode, ``run_coll_cuda_graph`` comms.py:375) —
+  measures pure device throughput with zero per-iteration dispatch.
+
+Blocking mode (reference ``--z 1``) is still available for semantics parity:
+it blocks every iteration and reports what it sees.
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from typing import Callable, Sequence
+
+import jax
+
+
+class TimingMode(str, enum.Enum):
+    DISPATCH = "dispatch"
+    BLOCKING = "blocking"
+    GRAPH = "graph"
+
+
+def _block(x) -> None:
+    jax.block_until_ready(x)
+
+
+def measure_dispatch(fn: Callable[[], object], iters: int, warmup: int = 2) -> float:
+    """Average per-op seconds via delta-N async dispatch timing."""
+    for _ in range(max(1, warmup)):
+        r = fn()
+    _block(r)
+    t0 = time.perf_counter()
+    rs = None
+    for _ in range(iters):
+        rs = fn()
+    _block(rs)
+    t_hi = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _block(fn())
+    t_lo = time.perf_counter() - t0
+    if iters <= 1:
+        return t_lo
+    per = (t_hi - t_lo) / (iters - 1)
+    return max(per, 1e-9)
+
+
+def measure_blocking(fn: Callable[[], object], iters: int, warmup: int = 2) -> list:
+    """Reference-style per-iteration blocking latencies (seconds each)."""
+    for _ in range(max(1, warmup)):
+        _block(fn())
+    lats = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _block(fn())
+        lats.append(time.perf_counter() - t0)
+    return lats
+
+
+def measure_graph(
+    graph_fn: Callable[[int], object], iters: int, warmup: int = 1
+) -> float:
+    """Per-op seconds from a device-side chained program.
+
+    ``graph_fn(n)`` must run n chained ops in one dispatch.  Uses two chain
+    lengths so the fixed dispatch cost cancels.
+    """
+    n_lo = max(2, iters // 4)
+    n_hi = iters
+    for _ in range(max(1, warmup)):
+        _block(graph_fn(n_hi))
+    t0 = time.perf_counter()
+    _block(graph_fn(n_hi))
+    t_hi = time.perf_counter() - t0
+    _block(graph_fn(n_lo))
+    t0 = time.perf_counter()
+    _block(graph_fn(n_lo))
+    t_lo = time.perf_counter() - t0
+    per = (t_hi - t_lo) / (n_hi - n_lo)
+    return max(per, 1e-9)

@@ -1,0 +1,139 @@
+"""Collective sweep bench + harness tests on the 8-device CPU mesh
+(reference test model: commsTraceReplay_tests.py / comms_utils_tests.py)."""
+
+import numpy as np
+import pytest
+
+from param_tpu.backend.base import CollectiveArgs
+from param_tpu.comms.coll_bench import CollBench
+from param_tpu.comms.harness import CommsParams
+from param_tpu.comms.timing import TimingMode, measure_dispatch
+from param_tpu.cli.comms import build_parser
+
+
+def make_bench(backend, **overrides):
+    p = CommsParams(
+        begin_size=256,
+        end_size=1024,
+        num_iters=3,
+        num_warmup_iters=1,
+        dcheck=True,
+        **overrides,
+    )
+    return CollBench(backend, p, reps=2)
+
+
+class TestSweepSizes:
+    def test_begin_fixed_for_a2a(self, backend):
+        b = make_bench(backend)
+        g = backend.get_default_group()
+        sizes = b.sweep_sizes("all_to_all", g)
+        assert sizes[0] >= 8 * 4  # world * elem
+
+    def test_explicit_size_list(self, backend):
+        b = make_bench(backend)
+        b.params.size_list = [512, 2048]
+        assert b.sweep_sizes("all_reduce", backend.get_default_group()) == [512, 2048]
+
+
+class TestRunOne:
+    @pytest.mark.parametrize(
+        "coll",
+        [
+            "all_reduce",
+            "all_gather",
+            "reduce_scatter",
+            "all_to_all",
+            "broadcast",
+            "reduce",
+            "gather",
+            "scatter",
+            "incast",
+            "multicast",
+        ],
+    )
+    def test_collective_sweep_with_dcheck(self, backend, coll):
+        b = make_bench(backend)
+        g = backend.get_default_group()
+        res = b.run_one(coll, 512, g)
+        assert res.dcheck_ok, f"dcheck failed for {coll}"
+        assert res.pct(50) > 0
+        assert res.alg_bw_gbs >= 0
+
+    def test_blocking_mode_has_distribution(self, backend):
+        b = make_bench(backend, mode=TimingMode.BLOCKING)
+        res = b.run_one("all_reduce", 512, backend.get_default_group())
+        assert len(res.lat_us) == b.params.num_iters
+
+    def test_graph_mode(self, backend):
+        b = make_bench(backend, mode=TimingMode.GRAPH)
+        b.params.dcheck = False
+        res = b.run_one("all_reduce", 512, backend.get_default_group())
+        assert res.pct(50) > 0
+
+    def test_quant_bitwidth_scales_busbw(self, backend):
+        b = make_bench(backend)
+        b.params.dcheck = False
+        b.params.bitwidth = 16
+        res = b.run_one("all_reduce", 512, backend.get_default_group())
+        # busBW = algBW * 2(n-1)/n * 16/32
+        assert res.bus_bw_gbs == pytest.approx(
+            res.alg_bw_gbs * 2 * 7 / 8 * 0.5, rel=1e-6
+        )
+
+
+class TestPt2Pt:
+    def test_one2one(self, backend):
+        b = make_bench(backend, pt2pt="one2one")
+        m = b.bench_pt2pt(1024, backend.get_default_group())
+        assert m.ping_p50_us > 0
+        assert m.uni_bw_gbs > 0
+        assert m.bi_bw_gbs > 0
+
+    def test_pairwise(self, backend):
+        b = make_bench(backend, pt2pt="pairwise")
+        b.params.window = 4
+        m = b.bench_pt2pt(1024, backend.get_default_group())
+        assert m.uni_bw_gbs > 0
+
+
+class TestMultiGroup:
+    def test_round_robin_groups_sweep(self, backend):
+        b = make_bench(backend, num_groups=2)
+        groups = b.make_groups()
+        assert len(groups) == 2
+        for g in groups:
+            res = b.run_one("all_reduce", 256, g)
+            # expected sum over a 4-rank group with rank pattern is 1+2+3+4
+            assert res.dcheck_ok
+
+
+class TestCli:
+    def test_parser_defaults(self):
+        ns = build_parser().parse_args([])
+        p = CommsParams.from_args(ns)
+        assert p.collectives == ["all_reduce"]
+        assert p.begin_size == 8
+        assert p.mode == TimingMode.DISPATCH
+
+    def test_parser_z_compat(self):
+        ns = build_parser().parse_args(["--z", "1"])
+        assert ns.z == 1
+
+    def test_parser_sizes(self):
+        ns = build_parser().parse_args(["--b", "1K", "--e", "4M", "--ss", "8,1K"])
+        p = CommsParams.from_args(ns)
+        assert p.begin_size == 1024
+        assert p.end_size == 4 * 1024**2
+        assert p.size_list == [8, 1024]
+
+
+class TestTiming:
+    def test_measure_dispatch_positive(self):
+        import jax.numpy as jnp
+        import jax
+
+        f = jax.jit(lambda x: x * 2)
+        x = jnp.ones((128,))
+        per = measure_dispatch(lambda: f(x), iters=5)
+        assert per > 0
