@@ -593,6 +593,85 @@ class TpuBackend(Backend):
         return self.track(prog(args.in_tensor))
 
     # ------------------------------------------------------------ graph mode
+    def coll_chain(self, collective: str, args: CollectiveArgs, n_iters: int):
+        """Scalar-output chained collective program for ground-truth timing
+        (see timing.measure_chain): runs ``n_iters`` chained collectives in
+        one dispatch and returns a replicated scalar checksum, so fetching
+        the result forces real execution."""
+        g = args.group or self._default_group
+        inner = self._graph_inner(collective, args, g)
+        key = (_group_key(g), "chain", collective, args.red_op,
+               tuple(zip(args.src_ranks, args.dst_ranks)), n_iters)
+
+        def body(x):
+            def step(carry, _):
+                return inner(carry), None
+
+            out, _ = lax.scan(step, x, None, length=n_iters)
+            return lax.psum(jnp.sum(out.astype(jnp.float32)), g.axis)
+
+        prog = self._cached(
+            key, lambda: self._smap(g, body, out_specs=P(), check_vma=False)
+        )
+        return prog(args.in_tensor)
+
+    def _graph_inner(self, collective: str, args: CollectiveArgs, g: CommGroup):
+        if collective not in ("all_reduce", "all_to_all", "all_to_all_single",
+                              "pt2pt", "all_gather", "reduce_scatter",
+                              "broadcast", "reduce"):
+            raise ValueError(f"graph/chain mode unsupported for {collective}")
+        if collective == "all_reduce":
+            red = self._reduce_body(args.red_op, g.axis)
+            # psum output is replicated; pcast re-marks it rank-varying so
+            # the scan carry type is stable; sum-reductions are damped by
+            # 1/n to keep values bounded over long chains (max/min are
+            # naturally bounded)
+            damp = 1.0 / g.size if args.red_op == "sum" else 1.0
+            return lambda x: lax.pcast(red(x) * damp, g.axis, to="varying")
+        if collective == "reduce":
+            red = self._reduce_body(args.red_op, g.axis)
+            root = args.dst_rank
+
+            damp = 1.0 / g.size if args.red_op == "sum" else 1.0
+
+            def inner(x):
+                y = red(x) * damp
+                me = lax.axis_index(g.axis)
+                y = jnp.where(me == root, y, x)
+                return lax.pcast(y, g.axis, to="varying")
+
+            return inner
+        if collective == "broadcast":
+            root = args.src_rank
+
+            def inner(x):
+                me = lax.axis_index(g.axis)
+                contrib = jnp.where(me == root, x, jnp.zeros_like(x))
+                return lax.pcast(lax.psum(contrib, g.axis), g.axis, to="varying")
+
+            return inner
+        if collective == "all_gather":
+            n = g.size
+
+            def inner(x):
+                y = lax.all_gather(x, g.axis, tiled=True)
+                # fold back to the local shape so the chain carries
+                return y.reshape(n, -1).mean(axis=0).astype(x.dtype)
+
+            return inner
+        if collective == "reduce_scatter":
+            n = g.size
+
+            def inner(x):
+                y = lax.psum_scatter(x, g.axis, tiled=True) / n
+                return jnp.tile(y, n)
+
+            return inner
+        if collective == "pt2pt":
+            pairs = list(zip(args.src_ranks, args.dst_ranks))
+            return lambda x: lax.ppermute(x, g.axis, perm=pairs)
+        return lambda x: lax.all_to_all(x, g.axis, 0, 0, tiled=True)
+
     def run_coll_graph(self, collective: str, args: CollectiveArgs, n_iters: int):
         """Run ``n_iters`` chained collectives inside ONE compiled program
         (a ``lax.scan`` over the collective body) — the analogue of the
@@ -600,19 +679,9 @@ class TpuBackend(Backend):
         measures pure collective throughput without per-iteration dispatch.
         Only shape-preserving collectives can chain."""
         g = args.group or self._default_group
-        if collective not in ("all_reduce", "all_to_all", "all_to_all_single", "pt2pt"):
-            raise ValueError(f"graph mode unsupported for {collective}")
-        if collective == "all_reduce":
-            red = self._reduce_body(args.red_op, g.axis)
-            # psum output is replicated; pcast re-marks it rank-varying so the
-            # scan carry type is stable
-            inner = lambda x: lax.pcast(red(x), g.axis, to="varying")  # noqa: E731
-        elif collective == "pt2pt":
-            pairs = list(zip(args.src_ranks, args.dst_ranks))
-            inner = lambda x: lax.ppermute(x, g.axis, perm=pairs)  # noqa: E731
-        else:
-            inner = lambda x: lax.all_to_all(x, g.axis, 0, 0, tiled=True)  # noqa: E731
-        key = (_group_key(g), "graph", collective, args.red_op, n_iters)
+        inner = self._graph_inner(collective, args, g)
+        key = (_group_key(g), "graph", collective, args.red_op,
+               tuple(zip(args.src_ranks, args.dst_ranks)), n_iters)
 
         def body(x):
             def step(carry, _):

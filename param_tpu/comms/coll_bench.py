@@ -22,8 +22,8 @@ from param_tpu.comms.harness import CommsBench, CommsParams
 from param_tpu.comms.timing import (
     TimingMode,
     measure_blocking,
+    measure_chain,
     measure_dispatch,
-    measure_graph,
 )
 from param_tpu.utils.bw import alg_bw, bus_bw_factor
 from param_tpu.utils.logger import (
@@ -84,10 +84,13 @@ class CollBench(CommsBench):
             lats = measure_blocking(call, p.num_iters, p.num_warmup_iters)
             res.lat_us = [t * 1e6 for t in lats]
         elif p.mode == TimingMode.GRAPH:
+            # scalar-fetch chain timing: the only mode whose numbers are
+            # trustworthy on remote-attached TPUs (see timing.measure_chain)
             per = [
-                measure_graph(
-                    lambda n: self.backend.run_coll_graph(collective, args, n),
-                    p.num_iters,
+                measure_chain(
+                    lambda n: self.backend.coll_chain(collective, args, n),
+                    n_lo=max(1, p.num_iters // 8),
+                    n_hi=p.num_iters,
                 )
                 for _ in range(self.reps)
             ]

@@ -89,3 +89,38 @@ def measure_graph(
     t_lo = time.perf_counter() - t0
     per = (t_hi - t_lo) / (n_hi - n_lo)
     return max(per, 1e-9)
+
+
+def measure_chain(
+    chain_fn: Callable[[int], object],
+    n_lo: int = 1,
+    n_hi: int = 16,
+    reps: int = 1,
+) -> float:
+    """Ground-truth per-op seconds: scalar-fetch delta-N timing.
+
+    ``chain_fn(n)`` must run n chained ops in ONE compiled program and return
+    a SCALAR (e.g. ``jnp.sum`` of the result).  Timing fetches the scalar
+    with ``float(...)`` — the only operation guaranteed to wait for real
+    device execution on remote-attached runtimes where
+    ``block_until_ready`` returns at enqueue (observed on the axon tunnel;
+    see .claude/skills/verify/SKILL.md).  The (n_hi - n_lo) delta cancels
+    both the round trip and the fetch.
+
+    This is the analogue of the reference's CUDA-graph timing mode
+    (run_coll_cuda_graph, comms.py:375) with nccl-tests-style averaging.
+    """
+    # warm both chain lengths (compile)
+    float(chain_fn(n_lo))
+    float(chain_fn(n_hi))
+    best = float("inf")
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        float(chain_fn(n_lo))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(chain_fn(n_hi))
+        t_hi = time.perf_counter() - t0
+        per = (t_hi - t_lo) / (n_hi - n_lo)
+        best = min(best, max(per, 1e-9))
+    return best
