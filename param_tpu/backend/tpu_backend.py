@@ -711,10 +711,10 @@ class TpuBackend(Backend):
     def _init_compute_fns(self):
         """Compute kernels for the comms+compute overlap bench
         (reference: pytorch_dist_backend.py:793-857)."""
-        from param_tpu.ops import matmul as _mm
+        from param_tpu.ops.matmul import matmul as _matmul
 
         def gemm(a, b):
-            return _mm.matmul(a, b)
+            return _matmul(a, b)
 
         self.compute_fn = {
             "gemm": jax.jit(gemm),

@@ -1,0 +1,166 @@
+"""Trace parse/replay tests (reference model: commsTraceReplay_tests.py)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from param_tpu.trace.comms_trace import (
+    CommsOp,
+    dump_trace_file,
+    parse_trace,
+    read_trace_file,
+    to_comm_name,
+)
+from param_tpu.trace.replay import CommsReplay, ReplayParams
+
+
+BASIC_TRACE = [
+    {"comms": "all_reduce", "in_msg_size": 1024, "out_msg_size": 1024,
+     "dtype": "float32"},
+    {"comms": "alltoall", "in_msg_size": 512, "out_msg_size": 512,
+     "dtype": "float32"},
+    {"comms": "all_to_allv", "in_msg_size": 16, "out_msg_size": 16,
+     "dtype": "float32", "in_split": [2] * 8, "out_split": [2] * 8},
+    {"comms": "wait"},
+    {"comms": "broadcast", "in_msg_size": 256, "out_msg_size": 256,
+     "dtype": "float32", "root": 2},
+    {"compute": "gemm", "mm_dim": 64, "dtype": "float32"},
+    {"compute": "emb_lookup", "emb_dim": 16, "num_embs": 100,
+     "batch_size": 8, "bag_size": 4},
+]
+
+
+class TestNameAliases:
+    def test_aliases(self):
+        assert to_comm_name("allreduce") == "all_reduce"
+        assert to_comm_name("AllToAll") == "all_to_all"
+        assert to_comm_name("all_to_all") == "all_to_all"
+        assert to_comm_name("reduceScatter") == "reduce_scatter"
+        assert to_comm_name("all-gather") == "all_gather"
+        assert to_comm_name("sendrecv") == "pt2pt"
+
+
+class TestParse:
+    def test_basic_schema(self):
+        ops = parse_trace(BASIC_TRACE)
+        assert len(ops) == 7
+        assert ops[0].comms == "all_reduce" and ops[0].in_msg_size == 1024
+        assert ops[1].comms == "all_to_all"
+        assert ops[2].in_split == [2] * 8
+        assert ops[3].comms == "wait"
+        assert ops[4].root == 2
+        assert ops[5].compute == "gemm" and ops[5].mm_dims == [64] * 4
+        assert ops[6].compute == "emb_lookup" and ops[6].bag_size == 4
+
+    def test_bad_element(self):
+        with pytest.raises(ValueError):
+            parse_trace([{"bogus": 1}])
+
+    def test_file_roundtrip(self, tmp_path):
+        p = str(tmp_path / "t.json")
+        dump_trace_file(BASIC_TRACE, p)
+        assert len(read_trace_file(p)) == 7
+        pgz = str(tmp_path / "t.json.gz")
+        dump_trace_file(BASIC_TRACE, pgz)
+        assert len(read_trace_file(pgz)) == 7
+
+    def test_signature_cache_key(self):
+        a, b = parse_trace(BASIC_TRACE[:2])
+        assert a.signature() != b.signature()
+        a2 = parse_trace(BASIC_TRACE[:1])[0]
+        assert a.signature() == a2.signature()
+
+
+class TestReplay:
+    def test_dry_run(self, backend):
+        r = CommsReplay(backend, ReplayParams(dry_run=True))
+        out = r.run(BASIC_TRACE)
+        stats = out["dry_run"]
+        assert stats["all_reduce"]["count"] == 1
+        assert stats["all_reduce"]["total_bytes"] == 4096
+        assert stats["compute:gemm"]["count"] == 1
+
+    def test_blocking_replay(self, backend):
+        r = CommsReplay(
+            backend,
+            ReplayParams(blocking=True, num_replays=2, num_warmup_replays=1),
+        )
+        out = r.run(BASIC_TRACE)
+        assert out["collectives"]["all_reduce"]["count"] == 2
+        assert out["collectives"]["all_reduce"]["alg_bw_gbs"] > 0
+        assert "compute:gemm" in out["collectives"]
+
+    def test_nonblocking_replay(self, backend):
+        r = CommsReplay(backend, ReplayParams(num_replays=1, do_warmup=False))
+        out = r.run(BASIC_TRACE)
+        assert out["total_replay_s"] > 0
+
+    def test_auto_shrink(self, backend):
+        trace = [
+            {"comms": "all_to_all", "in_msg_size": 16 * 1024,
+             "out_msg_size": 16 * 1024, "dtype": "float32", "world_size": 16},
+            {"comms": "all_gather", "in_msg_size": 128, "out_msg_size": 16 * 128,
+             "dtype": "float32", "world_size": 16},
+        ]
+        r = CommsReplay(backend, ReplayParams(auto_shrink=True))
+        r.load(trace)
+        assert r.ops[0].in_msg_size == 8 * 1024  # rescaled 16 -> 8 ranks
+        assert r.ops[1].out_msg_size == 8 * 128
+
+    def test_rebalance_equal(self, backend):
+        trace = [
+            {"comms": "all_to_allv", "in_msg_size": 80, "out_msg_size": 80,
+             "dtype": "float32", "in_split": [76, 1, 1, 1, 1, 0, 0, 0],
+             "out_split": [76, 1, 1, 1, 1, 0, 0, 0]},
+        ]
+        r = CommsReplay(backend, ReplayParams(rebalance_policy="equal"))
+        r.load(trace)
+        assert r.ops[0].in_split == [10] * 8
+
+    def test_pg_routing(self, backend):
+        trace = [
+            {"comms": "all_reduce", "in_msg_size": 64, "out_msg_size": 64,
+             "dtype": "float32", "pg_id": 7, "global_ranks": [0, 1, 2, 3]},
+        ]
+        r = CommsReplay(backend, ReplayParams(blocking=True, do_warmup=False))
+        out = r.run(trace)
+        assert 7 in r._pg_cache
+        assert r._pg_cache[7].size == 4
+
+    def test_write_details(self, backend, tmp_path):
+        path = str(tmp_path / "details.json")
+        r = CommsReplay(
+            backend,
+            ReplayParams(blocking=True, do_warmup=False, output_path=path),
+        )
+        r.run(BASIC_TRACE)
+        details = json.loads(open(path).read())
+        assert len(details) >= 5
+        assert all("lat_us" in d for d in details)
+
+
+class TestDlrmDumpReplays:
+    def test_end_to_end(self, backend, tmp_path):
+        """--print-comms output replays directly (capture→replay loop)."""
+        import jax
+        import optax
+        from jax.sharding import Mesh
+
+        from param_tpu.models.dlrm import DlrmConfig, DlrmModel
+        from param_tpu.models.dlrm_bench import DlrmCommBench
+
+        cfg = DlrmConfig(
+            num_tables=8, rows_per_table=100, emb_dim=16, nnz=4,
+            dense_dim=16, bot_mlp=[16, 16], top_mlp=[16, 1], batch=64,
+        )
+        mesh = Mesh(np.array(jax.devices()).reshape(8), ("x",))
+        bench = DlrmCommBench(DlrmModel(cfg, mesh), optax.sgd(0.01))
+        path = str(tmp_path / "dlrm.json")
+        bench.dump_comms(path)
+        r = CommsReplay(
+            backend, ReplayParams(trace_path=path, blocking=True, do_warmup=False)
+        )
+        out = r.run()
+        assert out["collectives"]["all_to_all"]["count"] == 3
+        assert out["collectives"]["all_reduce"]["count"] == 2
