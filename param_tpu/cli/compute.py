@@ -1,0 +1,105 @@
+"""Compute benchmark driver CLI — subcommands gemm | emb | linear.
+
+Reference: ``train/compute/pt/driver.py:12-113`` (subcommand CLI over the
+gemm/emb/linear benches and their fixed datasets).
+
+Run:
+    python -m param_tpu.cli.compute gemm --dataset A --dtype bfloat16
+    python -m param_tpu.cli.compute emb --dataset baseline
+    python -m param_tpu.cli.compute linear --dataset A --optimizer adagrad
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="param_tpu.compute", description="PARAM-TPU compute benchmarks"
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gemm", help="matmul sweep")
+    g.add_argument("--dataset", default="A", choices=["A", "B", "C"])
+    g.add_argument("--shape", default=None,
+                   help="explicit M,N,K (overrides --dataset)")
+    g.add_argument("--dtype", default="float32")
+    g.add_argument("--pallas", action="store_true", help="use the Pallas kernel")
+    g.add_argument("--chain", type=int, default=16)
+    g.add_argument("--reps", type=int, default=2)
+
+    e = sub.add_parser("emb", help="EmbeddingBag sweep")
+    e.add_argument("--dataset", default="baseline", choices=["A", "B", "baseline"])
+    e.add_argument("--shape", default=None,
+                   help="explicit rows,dim,nnz,batch (overrides --dataset)")
+    e.add_argument("--dtype", default="float32")
+    e.add_argument("--distribution", default="uniform", choices=["uniform", "zipf"])
+    e.add_argument("--max-rows", type=int, default=0,
+                   help="clamp table rows (HBM limit)")
+    e.add_argument("--chain", type=int, default=8)
+    e.add_argument("--reps", type=int, default=2)
+
+    l = sub.add_parser("linear", help="MLP train/inference bench")
+    l.add_argument("--dataset", default="A", choices=["A"])
+    l.add_argument("--shape", default=None,
+                   help="explicit layers,din,hidden,dout,batch")
+    l.add_argument("--dtype", default="float32")
+    l.add_argument("--optimizer", default="sgd", choices=["sgd", "adagrad"])
+    l.add_argument("--fwd-only", action="store_true", help="inference mode")
+    l.add_argument("--chain", type=int, default=8)
+    l.add_argument("--reps", type=int, default=2)
+
+    ap.add_argument("--log", default="INFO")
+    return ap
+
+
+def main(argv=None) -> int:
+    ns = build_parser().parse_args(argv)
+    logging.basicConfig(level=ns.log.upper())
+    from param_tpu.ops import datasets
+    from param_tpu.ops.compute_bench import (
+        bench_emb,
+        bench_gemm,
+        bench_mlp,
+        print_results,
+    )
+
+    if ns.cmd == "gemm":
+        shapes = (
+            [tuple(int(x) for x in ns.shape.split(","))]
+            if ns.shape
+            else datasets.GEMM_DATASETS[ns.dataset]
+        )
+        results = bench_gemm(
+            shapes, dtype=ns.dtype, n_hi=ns.chain, reps=ns.reps,
+            use_pallas=ns.pallas,
+        )
+    elif ns.cmd == "emb":
+        configs = (
+            [tuple(int(x) for x in ns.shape.split(","))]
+            if ns.shape
+            else datasets.EMB_DATASETS[ns.dataset]
+        )
+        results = bench_emb(
+            configs, dtype=ns.dtype, n_hi=ns.chain, reps=ns.reps,
+            distribution=ns.distribution, max_rows=ns.max_rows or None,
+        )
+    else:
+        configs = (
+            [tuple(int(x) for x in ns.shape.split(","))]
+            if ns.shape
+            else datasets.MLP_DATASETS[ns.dataset]
+        )
+        results = bench_mlp(
+            configs, dtype=ns.dtype, optimizer=ns.optimizer,
+            fwd_only=ns.fwd_only, n_hi=ns.chain, reps=ns.reps,
+        )
+    print_results(results, ns.dtype)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -96,8 +96,10 @@ def measure_chain(
     n_lo: int = 1,
     n_hi: int = 16,
     reps: int = 1,
+    max_n: int = 1024,
 ) -> float:
-    """Ground-truth per-op seconds: scalar-fetch delta-N timing.
+    """Ground-truth per-op seconds: scalar-fetch delta-N timing with
+    adaptive chain growth.
 
     ``chain_fn(n)`` must run n chained ops in ONE compiled program and return
     a SCALAR (e.g. ``jnp.sum`` of the result).  Timing fetches the scalar
@@ -107,20 +109,41 @@ def measure_chain(
     see .claude/skills/verify/SKILL.md).  The (n_hi - n_lo) delta cancels
     both the round trip and the fetch.
 
+    The round-trip jitter on a tunneled device can be several ms, so
+    ``n_hi`` is doubled (up to ``max_n``) until the measured delta clears
+    the observed noise floor — otherwise fast ops would disappear into the
+    jitter and the delta could even go negative.
+
     This is the analogue of the reference's CUDA-graph timing mode
     (run_coll_cuda_graph, comms.py:375) with nccl-tests-style averaging.
     """
-    # warm both chain lengths (compile)
+
+    def timed(n: int) -> float:
+        t0 = time.perf_counter()
+        float(chain_fn(n))
+        return time.perf_counter() - t0
+
+    # warm + noise floor estimate at the short chain
     float(chain_fn(n_lo))
-    float(chain_fn(n_hi))
-    best = float("inf")
-    for _ in range(max(1, reps)):
-        t0 = time.perf_counter()
-        float(chain_fn(n_lo))
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(chain_fn(n_hi))
-        t_hi = time.perf_counter() - t0
-        per = (t_hi - t_lo) / (n_hi - n_lo)
-        best = min(best, max(per, 1e-9))
+    lo_times = [timed(n_lo) for _ in range(3)]
+    t_lo = min(lo_times)
+    noise = max(lo_times) - t_lo
+
+    n = max(n_hi, n_lo * 2)
+    while True:
+        float(chain_fn(n))  # compile outside the timed region
+        t_hi = min(timed(n) for _ in range(2))
+        delta = t_hi - t_lo
+        if delta > max(5 * noise, 0.01) or n >= max_n:
+            break
+        n *= 4
+    per = delta / (n - n_lo)
+
+    best = max(per, 1e-9)
+    for _ in range(max(0, reps - 1)):
+        t_lo_r = min(timed(n_lo) for _ in range(2))
+        t_hi_r = min(timed(n) for _ in range(2))
+        per = (t_hi_r - t_lo_r) / (n - n_lo)
+        if per > 0:
+            best = min(best, per)
     return best

@@ -1,0 +1,269 @@
+"""Compute-tier benchmark runners: GEMM, EmbeddingBag, MLP.
+
+TPU-native counterpart of the reference's standalone compute benches
+(``train/compute/pt/pytorch_gemm.py`` / ``pytorch_emb.py`` /
+``pytorch_linear.py``) with their metric formulas (TF/s = 2MNK/t;
+GB/s = batch*nnz*dim*elem/t; QPS = batch/t, TF/s = flops*batch*(2|6)/t)
+plus roofline fractions per chip.
+
+All measurements are scalar-fetch chains (measure_chain) with per-step input
+perturbation — the defeat-DCE concern the reference handles at
+pytorch_gemm.py:44-50 ("XLA lazy evaluation") taken to its conclusion.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from param_tpu.comms.timing import measure_chain
+from param_tpu.ops.embedding import embedding_bytes
+from param_tpu.ops.matmul import gemm_flops, matmul_pallas
+from param_tpu.ops.mlp import init_mlp, make_optimizer, make_train_step, mlp_flops
+from param_tpu.utils.chip import detect_chip, matmul_roofline_tflops
+from param_tpu.utils.dtypes import dtype_from_name, dtype_size
+from param_tpu.utils.logger import ComputePerfMetrics, emit_metrics
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class ComputeResult:
+    op: str
+    shape: tuple
+    lat_us: float
+    tflops: float = 0.0
+    gbs: float = 0.0
+    qps: float = 0.0
+    roofline_frac: float = 0.0
+
+
+def _report(res: ComputeResult, dtype: str):
+    emit_metrics(
+        ComputePerfMetrics(
+            op=res.op, dtype=dtype, shape=list(res.shape), lat_us=res.lat_us,
+            tflops=res.tflops, gbs=res.gbs, roofline_frac=res.roofline_frac,
+        )
+    )
+    return res
+
+
+# ------------------------------------------------------------------- GEMM
+def bench_gemm(
+    shapes: List[tuple],
+    dtype: str = "float32",
+    n_hi: int = 16,
+    reps: int = 2,
+    use_pallas: bool = False,
+) -> List[ComputeResult]:
+    """(reference: pytorch_gemm.py measure/measure_xla)"""
+    dt = dtype_from_name(dtype)
+    chip = detect_chip()
+    peak = matmul_roofline_tflops(chip, dtype)
+    results = []
+    for m, n, k in shapes:
+        rng = np.random.default_rng(0)
+        a = (jnp.asarray(rng.random((m, k), dtype=np.float32)) * 0.01).astype(dt)
+        b = (jnp.asarray(rng.random((k, n), dtype=np.float32)) * 0.01).astype(dt)
+
+        if use_pallas:
+            def op(x):
+                return matmul_pallas(x, b)
+        else:
+            def op(x):
+                return jnp.dot(x, b, preferred_element_type=jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames="nn")
+        def chain(a, nn):
+            def step(s, i):
+                # per-step input perturbation defeats loop hoisting/CSE
+                out = op(a + i.astype(a.dtype) * jnp.asarray(1e-6, a.dtype))
+                return s + jnp.sum(out.astype(jnp.float32)), None
+
+            s, _ = lax.scan(step, jnp.float32(0), jnp.arange(nn))
+            return s
+
+        try:
+            per = measure_chain(lambda nn: chain(a, nn=nn), n_lo=1, n_hi=n_hi,
+                                reps=reps)
+        except Exception:
+            log.exception("gemm %s failed", (m, n, k))
+            continue
+        tf = gemm_flops(m, n, k) / per / 1e12
+        results.append(
+            _report(
+                ComputeResult(
+                    op="gemm", shape=(m, n, k), lat_us=per * 1e6, tflops=tf,
+                    roofline_frac=tf / peak if peak else 0.0,
+                ),
+                dtype,
+            )
+        )
+    return results
+
+
+# -------------------------------------------------------------- Embedding
+def bench_emb(
+    configs: List[tuple],
+    dtype: str = "float32",
+    n_hi: int = 8,
+    reps: int = 2,
+    distribution: str = "uniform",
+    max_rows: Optional[int] = None,
+) -> List[ComputeResult]:
+    """(reference: pytorch_emb.py measure/measure_tpu; Zipf index gen
+    :138-160).  ``max_rows`` clamps tables that exceed device HBM."""
+    from param_tpu.models.dlrm_data import gen_indices
+
+    dt = dtype_from_name(dtype)
+    es = dtype_size(dt)
+    chip = detect_chip()
+    results = []
+    rng = np.random.default_rng(0)
+    table_cache = {}
+    for rows, dim, nnz, batch in configs:
+        if max_rows:
+            rows = min(rows, max_rows)
+        tkey = (rows, dim)
+        if tkey not in table_cache:
+            table_cache.clear()  # one big table at a time
+            table_cache[tkey] = jnp.asarray(
+                rng.random((rows, dim), dtype=np.float32)
+            ).astype(dt)
+        table = table_cache[tkey]
+        idx = jnp.asarray(
+            gen_indices(rng, batch, 1, nnz, rows, distribution)[:, 0, :]
+        )
+
+        @functools.partial(jax.jit, static_argnames="nn")
+        def chain(table, idx, nn):
+            def step(s, i):
+                shifted = (idx + i) % rows
+                out = jnp.sum(jnp.take(table, shifted, axis=0).astype(jnp.float32),
+                              axis=1)
+                return s + jnp.sum(out), None
+
+            s, _ = lax.scan(step, jnp.float32(0), jnp.arange(nn))
+            return s
+
+        try:
+            per = measure_chain(
+                lambda nn: chain(table, idx, nn=nn), n_lo=1, n_hi=n_hi, reps=reps
+            )
+        except Exception:
+            log.exception("emb %s failed", (rows, dim, nnz, batch))
+            continue
+        gbs = embedding_bytes(batch, nnz, dim, es) / per / 1e9
+        results.append(
+            _report(
+                ComputeResult(
+                    op="emb", shape=(rows, dim, nnz, batch), lat_us=per * 1e6,
+                    gbs=gbs, qps=batch / per,
+                    roofline_frac=gbs / chip.hbm_gbs,
+                ),
+                dtype,
+            )
+        )
+    return results
+
+
+# -------------------------------------------------------------------- MLP
+def bench_mlp(
+    configs: List[tuple],
+    dtype: str = "float32",
+    optimizer: str = "sgd",
+    fwd_only: bool = False,
+    n_hi: int = 8,
+    reps: int = 2,
+) -> List[ComputeResult]:
+    """(reference: pytorch_linear.py train/train_tpu; QPS + TF/s at
+    :338-346)"""
+    dt = dtype_from_name(dtype)
+    chip = detect_chip()
+    peak = matmul_roofline_tflops(chip, dtype)
+    results = []
+    for num_layers, din, hidden, dout, batch in configs:
+        dims = [din] + [hidden] * (num_layers - 1) + [dout]
+        params = init_mlp(jax.random.PRNGKey(0), dims, dt)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((batch, din), dtype=np.float32)).astype(dt)
+        y = jnp.asarray(rng.random((batch, dout), dtype=np.float32))
+
+        if fwd_only:
+            from param_tpu.ops.mlp import mlp_forward
+
+            @functools.partial(jax.jit, static_argnames="nn")
+            def chain(params, x, nn):
+                def step(s, i):
+                    out = mlp_forward(
+                        params, x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
+                    )
+                    return s + jnp.sum(out.astype(jnp.float32)), None
+
+                s, _ = lax.scan(step, jnp.float32(0), jnp.arange(nn))
+                return s
+
+            fn = lambda nn: chain(params, x, nn=nn)  # noqa: E731
+        else:
+            opt = make_optimizer(optimizer)
+            train_step = None  # build inside chain for fusion
+            st = opt.init(params)
+            import optax
+
+            from param_tpu.ops.mlp import mlp_forward
+
+            @functools.partial(jax.jit, static_argnames="nn")
+            def chain(params, st, x, y, nn):
+                def loss_fn(p, xx):
+                    out = mlp_forward(p, xx).astype(jnp.float32)
+                    return jnp.mean((out - y) ** 2)
+
+                def step(carry, i):
+                    p, s = carry
+                    xx = x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
+                    l, grads = jax.value_and_grad(loss_fn)(p, xx)
+                    updates, s = opt.update(grads, s, p)
+                    p = optax.apply_updates(p, updates)
+                    return (p, s), l
+
+                (_, _), losses = lax.scan(step, (params, st), jnp.arange(nn))
+                return losses[-1]
+
+            fn = lambda nn: chain(params, st, x, y, nn=nn)  # noqa: E731
+
+        try:
+            per = measure_chain(fn, n_lo=1, n_hi=n_hi, reps=reps)
+        except Exception:
+            log.exception("mlp %s failed", (num_layers, din, hidden, dout, batch))
+            continue
+        tf = mlp_flops(dims, batch, fwd_only) / per / 1e12
+        results.append(
+            _report(
+                ComputeResult(
+                    op="mlp", shape=(num_layers, din, hidden, dout, batch),
+                    lat_us=per * 1e6, tflops=tf, qps=batch / per,
+                    roofline_frac=tf / peak if peak else 0.0,
+                ),
+                dtype,
+            )
+        )
+    return results
+
+
+def print_results(results: List[ComputeResult], dtype: str) -> None:
+    chip = detect_chip()
+    print(f"\nCOMPUTE-RES chip={chip.name} dtype={dtype}")
+    print(f"{'op':>6}{'shape':>30}{'lat(us)':>14}{'TF/s':>12}{'GB/s':>10}"
+          f"{'QPS':>14}{'roofline':>10}")
+    for r in results:
+        print(
+            f"{r.op:>6}{str(r.shape):>30}{r.lat_us:>14.1f}{r.tflops:>12.2f}"
+            f"{r.gbs:>10.1f}{r.qps:>14.0f}{r.roofline_frac:>9.1%}"
+        )

@@ -1,0 +1,57 @@
+"""Fixed benchmark sweep shapes.
+
+Benchmark-configuration data reproduced from the reference so results are
+directly comparable (``train/compute/pt/dataset.py:7-98``).  These are the
+DLRM-representative shape sets PARAM publishes its example numbers on.
+"""
+
+# gemm tuple shape (M, N, K)
+GEMM_A = [
+    (128, 4096, 4096), (256, 4096, 4096), (512, 4096, 4096), (1024, 4096, 4096),
+    (128, 1024, 1024), (256, 1024, 1024), (512, 1024, 1024), (1024, 1024, 1024),
+    (4096, 4096, 128), (4096, 4096, 256), (4096, 4096, 512), (4096, 4096, 1024),
+    (1024, 1024, 128), (1024, 1024, 256), (1024, 1024, 512),
+]
+
+GEMM_B = [
+    (128, 4096, 40928), (256, 4096, 40928), (512, 4096, 40928), (1024, 4096, 40928),
+    (128, 40928, 4096), (256, 40928, 4096), (512, 40928, 4096), (1024, 40928, 4096),
+    (128, 1024, 2000), (256, 1024, 2000), (512, 1024, 2000), (1024, 1024, 2000),
+    (1024, 2000, 128), (1024, 2000, 256), (1024, 2000, 512), (1024, 2000, 1024),
+    (4096, 40928, 128), (4096, 40928, 256), (4096, 40928, 512), (4096, 40928, 1024),
+]
+
+GEMM_C = [
+    (1024, 1024, 64), (1024, 64, 1024), (1024, 4096, 1024), (1024, 1024, 4096),
+]
+
+# emb tuple (rows, embdim, nnz, batch)
+EMB_A = [
+    (14_000_000, 128, 30, b)
+    for b in (512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+] + [
+    (26_000_000, 128, 30, b)
+    for b in (512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+]
+
+EMB_B = [
+    (4_800_000, 56, 34, b) for b in (2048, 4096, 8192, 16384, 32768, 65536)
+]
+
+# the driver BASELINE.json single-chip config
+EMB_BASELINE = [(1_000_000, 128, 30, 8192)]
+
+# mlp tuple (layer-num, input-size, hidden-size, output-size, batch-size)
+MLP_A = [
+    (18, 1024, 1024, 1024, b) for b in (128, 256, 512, 1024, 2048, 4096)
+] + [
+    (18, 4096, 4096, 4096, b) for b in (128, 256, 512, 1024, 2048, 4096)
+]
+
+DATASETS = {
+    "A": GEMM_A, "B": GEMM_B, "C": GEMM_C,
+}
+
+GEMM_DATASETS = {"A": GEMM_A, "B": GEMM_B, "C": GEMM_C}
+EMB_DATASETS = {"A": EMB_A, "B": EMB_B, "baseline": EMB_BASELINE}
+MLP_DATASETS = {"A": MLP_A}

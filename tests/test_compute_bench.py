@@ -1,0 +1,83 @@
+"""Compute-tier bench runner tests (tiny shapes, CPU)."""
+
+import pytest
+
+from param_tpu.ops import datasets
+from param_tpu.ops.compute_bench import bench_emb, bench_gemm, bench_mlp, print_results
+from param_tpu.utils.chip import CHIPS, detect_chip, matmul_roofline_tflops
+
+
+class TestDatasets:
+    def test_reference_shapes(self):
+        # parity with train/compute/pt/dataset.py
+        assert len(datasets.GEMM_A) == 15
+        assert len(datasets.GEMM_B) == 20
+        assert len(datasets.GEMM_C) == 4
+        assert len(datasets.EMB_A) == 16
+        assert len(datasets.EMB_B) == 6
+        assert len(datasets.MLP_A) == 12
+        assert datasets.GEMM_A[0] == (128, 4096, 4096)
+        assert datasets.EMB_A[0] == (14_000_000, 128, 30, 512)
+        assert datasets.MLP_A[0] == (18, 1024, 1024, 1024, 128)
+
+
+class TestChip:
+    def test_detect_on_cpu(self):
+        assert detect_chip().name == "cpu"
+
+    def test_roofline_lookup(self):
+        v5e = CHIPS["v5e"]
+        assert matmul_roofline_tflops(v5e, "bfloat16") == 197.0
+        assert matmul_roofline_tflops(v5e, "float32") == 98.5
+
+
+class TestGemm:
+    def test_small_sweep(self):
+        results = bench_gemm([(64, 64, 64), (128, 64, 32)], n_hi=4, reps=1)
+        assert len(results) == 2
+        for r in results:
+            assert r.tflops > 0
+            assert r.lat_us > 0
+
+
+class TestEmb:
+    def test_small(self):
+        results = bench_emb([(1000, 16, 4, 32)], n_hi=4, reps=1)
+        assert len(results) == 1
+        assert results[0].gbs > 0
+        assert results[0].qps > 0
+
+    def test_max_rows_clamp(self):
+        results = bench_emb([(10_000_000, 16, 4, 32)], n_hi=2, reps=1,
+                            max_rows=1000)
+        assert results[0].shape[0] == 1000
+
+    def test_zipf(self):
+        results = bench_emb([(1000, 16, 4, 32)], n_hi=2, reps=1,
+                            distribution="zipf")
+        assert results[0].gbs > 0
+
+
+class TestMlp:
+    def test_train(self):
+        results = bench_mlp([(2, 32, 32, 32, 16)], n_hi=4, reps=1)
+        assert results[0].tflops > 0
+        assert results[0].qps > 0
+
+    def test_fwd_only(self):
+        results = bench_mlp([(2, 32, 32, 32, 16)], fwd_only=True, n_hi=4, reps=1)
+        assert results[0].tflops > 0
+
+    def test_adagrad(self):
+        results = bench_mlp([(2, 32, 32, 32, 16)], optimizer="adagrad",
+                            n_hi=4, reps=1)
+        assert results[0].tflops > 0
+
+
+class TestReport:
+    def test_print(self, capsys):
+        results = bench_gemm([(64, 64, 64)], n_hi=2, reps=1)
+        print_results(results, "float32")
+        out = capsys.readouterr().out
+        assert "COMPUTE-RES" in out
+        assert "gemm" in out
