@@ -1,0 +1,72 @@
+"""Overlap bench tests (CPU mesh)."""
+
+import pytest
+
+from param_tpu.comms.overlap_bench import (
+    CommsComputeBench,
+    OverlapBench,
+    OverlapResult,
+    _coll_step,
+)
+
+
+class TestOverlapResult:
+    def test_perfect(self):
+        r = OverlapResult(100, 100, 100)
+        assert r.overlap_efficiency == 1.0
+
+    def test_serialized(self):
+        r = OverlapResult(100, 100, 200)
+        assert r.overlap_efficiency == 0.0
+
+    def test_partial(self):
+        r = OverlapResult(100, 50, 120)
+        assert r.overlap_efficiency == pytest.approx(0.6)
+
+
+class TestCollStep:
+    def test_unsupported(self):
+        with pytest.raises(ValueError):
+            _coll_step("bogus", "rank", 1.0)
+
+
+class TestOverlapBench:
+    def test_same_group(self):
+        b = OverlapBench()
+        res = b.run_same_group("all_reduce", "all_to_all", 32 * 1024, n_hi=4)
+        assert res.t_a_us > 0 and res.t_b_us > 0 and res.t_both_us > 0
+
+    def test_split_pgs_concurrent(self):
+        b = OverlapBench()
+        res = b.run_split_pgs("all_reduce", 32 * 1024, n_hi=4)
+        # disjoint halves on the simulated mesh run genuinely concurrently
+        assert res.overlap_efficiency > 0.3
+
+    def test_split_pgs_needs_even(self):
+        b = OverlapBench()
+        b.devices = b.devices[:3]
+        with pytest.raises(ValueError):
+            b.run_split_pgs("all_reduce", 1024)
+
+
+class TestCommsComputeBench:
+    def test_gemm_kernel(self):
+        b = CommsComputeBench()
+        r = b.run(collective="all_reduce", size_bytes=64 * 1024,
+                  kernel="gemm", mm_dim=64, n_hi=4)
+        assert r["t_comm_us"] > 0
+        assert r["t_compute_us"] > 0
+        assert "tflops" in r
+        assert 0.0 <= r["overlap_efficiency"] <= 1.0
+
+    def test_emb_kernel(self):
+        b = CommsComputeBench()
+        r = b.run(collective="all_gather", size_bytes=64 * 1024,
+                  kernel="emb_lookup", emb_rows=1000, emb_dim=16,
+                  emb_batch=64, emb_nnz=4, n_hi=4)
+        assert r["t_both_us"] > 0
+
+    def test_bad_kernel(self):
+        b = CommsComputeBench()
+        with pytest.raises(ValueError):
+            b.run(kernel="fft")
