@@ -1,0 +1,274 @@
+"""Op-level execution-trace replay.
+
+TPU-native counterpart of the reference's ``et_replay/tools/et_replay.py``
+(``ExgrReplayManager``): subgraph extraction, tensor dependency analysis →
+unique replay tensors + last-use liveness maps (analyze_tensors:585-717),
+pre-allocate vs lazy allocation (TensorAllocationMode:121), per-node
+callables rebuilt from the serialized op (build_func:829 — here: the jax
+primitive registry + decoded eqn params), replay modes full/comp/comm
+(ReplayMode:134), skip-node config with auto-update on runtime errors
+(remove_op_with_runtime_error:1299), and QPS reporting.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Dict, List, Optional, Set
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from param_tpu.trace.capture import decode_params
+from param_tpu.trace.execution_trace import ExecutionTrace, Node
+
+log = logging.getLogger(__name__)
+
+
+class ReplayMode(str, Enum):
+    FULL = "full"
+    COMPUTE = "comp"
+    COMM = "comm"
+
+
+class AllocationMode(str, Enum):
+    PRE = "pre"  # allocate every replay tensor up front
+    LAZY = "lazy"  # allocate on first use, free after last use
+
+
+def _build_primitive_registry() -> Dict[str, Any]:
+    """name → jax Primitive, discovered from the public lax namespaces
+    (the analogue of rebuilding callables from TorchScript schemas,
+    reference build_torchscript_func, et_replay_utils.py:129)."""
+    registry: Dict[str, Any] = {}
+    import jax.extend.core as jex_core
+
+    prim_type = jex_core.Primitive
+    modules = []
+    import jax.lax as _lax
+
+    modules.append(_lax)
+    try:
+        import jax.lax.linalg as _linalg
+
+        modules.append(_linalg)
+    except ImportError:
+        pass
+    try:
+        from jax._src import ad_util
+
+        modules.append(ad_util)
+    except ImportError:
+        pass
+    for mod in modules:
+        for attr in dir(mod):
+            obj = getattr(mod, attr, None)
+            if isinstance(obj, prim_type):
+                registry.setdefault(obj.name, obj)
+    return registry
+
+
+_PRIM_REGISTRY: Optional[Dict[str, Any]] = None
+
+
+def primitive_registry() -> Dict[str, Any]:
+    global _PRIM_REGISTRY
+    if _PRIM_REGISTRY is None:
+        _PRIM_REGISTRY = _build_primitive_registry()
+    return _PRIM_REGISTRY
+
+
+@dataclass
+class ReplayConfig:
+    """(reference: skip-node replay config JSON,
+    configs/replay-config-fbgemm.json)"""
+
+    skip_nodes: Set[int] = field(default_factory=set)
+    skip_names: Set[str] = field(default_factory=set)
+
+    @classmethod
+    def load(cls, path: str) -> "ReplayConfig":
+        with open(path) as f:
+            raw = json.load(f)
+        return cls(
+            skip_nodes=set(raw.get("skip_nodes", [])),
+            skip_names=set(raw.get("skip_names", [])),
+        )
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(
+                {"skip_nodes": sorted(self.skip_nodes),
+                 "skip_names": sorted(self.skip_names)},
+                f, indent=2,
+            )
+
+
+class EtReplayManager:
+    """(reference: ExgrReplayManager, tools/et_replay.py:1384+)"""
+
+    def __init__(
+        self,
+        et: ExecutionTrace,
+        mode: ReplayMode = ReplayMode.FULL,
+        alloc: AllocationMode = AllocationMode.PRE,
+        config: Optional[ReplayConfig] = None,
+        seed: int = 0,
+    ):
+        self.et = et
+        self.mode = mode
+        self.alloc = alloc
+        self.config = config or ReplayConfig()
+        self.seed = seed
+        self.registry: Dict[int, Any] = {}  # tensor id → value
+        self.last_use: Dict[int, int] = {}
+        self.skipped: List[int] = []
+        self.errors: Dict[int, str] = {}
+        self._nodes: List[Node] = []
+
+    # ------------------------------------------------------------- analysis
+    def preprocess(self) -> None:
+        """Subgraph selection + liveness (reference: preprocess_graph:1344,
+        analyze_tensors:585)."""
+        nodes = [n for n in self.et.get_nodes(clean=True) if n.iteration == 0]
+        if self.mode == ReplayMode.COMM:
+            nodes = [n for n in nodes if n.is_comm()]
+        elif self.mode == ReplayMode.COMPUTE:
+            nodes = [n for n in nodes if not n.is_comm()]
+        self._nodes = nodes
+        self.last_use.clear()
+        for pos, n in enumerate(nodes):
+            for tid in n.inputs:
+                if tid is not None:
+                    self.last_use[tid] = pos
+        for tid in self.et.out_tensors:
+            self.last_use[tid] = len(nodes)
+
+    def _alloc_tensor(self, tid: int, rng: np.random.Generator):
+        t = self.et.tensors[tid]
+        dtype = np.dtype(t.dtype) if t.dtype != "bool" else np.bool_
+        shape = tuple(t.shape)
+        if np.issubdtype(dtype, np.integer):
+            arr = rng.integers(0, 8, size=shape).astype(dtype)
+        elif dtype == np.bool_:
+            arr = rng.integers(0, 2, size=shape).astype(bool)
+        else:
+            arr = rng.random(size=shape).astype(np.float32)
+        return jnp.asarray(arr).astype(t.dtype)
+
+    def allocate_inputs(self) -> None:
+        """(reference: allocate_tensors:719; replay inputs are random-
+        initialized like the reference's non-file tensors)"""
+        rng = np.random.default_rng(self.seed)
+        needed: Set[int] = set(self.et.in_tensors)
+        produced: Set[int] = set()
+        for n in self._nodes:
+            for tid in n.inputs:
+                if tid is not None and tid not in produced:
+                    needed.add(tid)
+            produced.update(t for t in n.outputs if t is not None)
+        if self.alloc == AllocationMode.PRE:
+            for tid in needed:
+                if tid in self.et.tensors:
+                    self.registry[tid] = self._alloc_tensor(tid, rng)
+        else:
+            self._lazy_needed = needed
+            self._lazy_rng = rng
+
+    def _get_input(self, tid: int):
+        if tid in self.registry:
+            return self.registry[tid]
+        if self.alloc == AllocationMode.LAZY and tid in self.et.tensors:
+            self.registry[tid] = self._alloc_tensor(tid, self._lazy_rng)
+            return self.registry[tid]
+        raise KeyError(f"tensor {tid} unavailable")
+
+    # --------------------------------------------------------------- replay
+    def run_op(self, pos: int, node: Node) -> None:
+        """(reference: run_op:1125)"""
+        if (
+            node.id in self.config.skip_nodes
+            or node.name in self.config.skip_names
+            or node.params.get("opaque")
+        ):
+            self._skip(node)
+            return
+        prim = primitive_registry().get(node.name)
+        if prim is None:
+            self._skip(node, reason=f"no primitive for {node.name}")
+            return
+        try:
+            literals = node.params.get("__literals__", {})
+            inputs = []
+            for arg_pos, tid in enumerate(node.inputs):
+                if tid is not None:
+                    inputs.append(self._get_input(tid))
+                elif str(arg_pos) in literals:
+                    lit = literals[str(arg_pos)]
+                    inputs.append(jnp.asarray(lit["v"], dtype=lit["dtype"]))
+                else:
+                    inputs.append(jnp.zeros(()))
+            params = decode_params(node.params)
+            params.pop("opaque", None)
+            params.pop("__literals__", None)
+            out = prim.bind(*inputs, **params)
+            outs = out if isinstance(out, (list, tuple)) else [out]
+            for tid, val in zip(node.outputs, outs):
+                if tid is not None:
+                    self.registry[tid] = val
+        except Exception as e:  # noqa: BLE001
+            # reference behavior: record the failure, allocate outputs so the
+            # rest of the graph continues (remove_op_with_runtime_error:1299)
+            self.errors[node.id] = f"{node.name}: {str(e)[:160]}"
+            self.config.skip_nodes.add(node.id)
+            self._skip(node)
+
+    def _skip(self, node: Node, reason: str = "") -> None:
+        self.skipped.append(node.id)
+        rng = np.random.default_rng(self.seed + node.id)
+        for tid in node.outputs:
+            if tid is not None and tid in self.et.tensors:
+                self.registry[tid] = self._alloc_tensor(tid, rng)
+
+    def _free_dead(self, pos: int) -> None:
+        """(reference: tensor registry free by last-use, :1209-1237)"""
+        if self.alloc != AllocationMode.LAZY:
+            return
+        dead = [
+            tid for tid, last in self.last_use.items()
+            if last == pos and tid in self.registry
+        ]
+        for tid in dead:
+            del self.registry[tid]
+
+    def replay(self, iters: int = 1, warmup: int = 0) -> Dict[str, Any]:
+        """(reference: benchTime:1384 / run_iter:1455)"""
+        self.preprocess()
+        times = []
+        for it in range(warmup + iters):
+            self.registry.clear()
+            self.skipped.clear()
+            self.allocate_inputs()
+            t0 = time.perf_counter()
+            for pos, node in enumerate(self._nodes):
+                self.run_op(pos, node)
+                self._free_dead(pos)
+            jax.block_until_ready(
+                [v for v in self.registry.values()][-8:]
+            )
+            dt = time.perf_counter() - t0
+            if it >= warmup:
+                times.append(dt)
+        total = sum(times) / max(1, len(times))
+        return {
+            "mode": self.mode.value,
+            "num_ops": len(self._nodes),
+            "num_skipped": len(set(self.skipped)),
+            "errors": dict(self.errors),
+            "iter_s": total,
+            "qps": len(self._nodes) / total if total else 0.0,
+        }

@@ -1,0 +1,182 @@
+"""Execution-trace capture/validate/replay tests
+(reference model: et_replay/tests/test_execution_trace.py + test_et_replay.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from param_tpu.trace.capture import (
+    capture_execution_trace,
+    decode_params,
+    encode_params,
+)
+from param_tpu.trace.et_replay import (
+    AllocationMode,
+    EtReplayManager,
+    ReplayConfig,
+    ReplayMode,
+    primitive_registry,
+)
+from param_tpu.trace.execution_trace import ExecutionTrace, TraceValidator
+
+
+def simple_model(x, w1, w2):
+    h = jax.nn.relu(jnp.dot(x, w1))
+    return jnp.sum(jax.nn.softmax(jnp.dot(h, w2), axis=-1))
+
+
+@pytest.fixture(scope="module")
+def simple_et():
+    x, w1, w2 = jnp.ones((8, 16)), jnp.ones((16, 32)), jnp.ones((32, 4))
+    return capture_execution_trace(simple_model, x, w1, w2)
+
+
+class TestCapture:
+    def test_ops_flattened(self, simple_et):
+        names = [n.name for n in simple_et.get_nodes(clean=True)]
+        assert "dot_general" in names
+        assert "jit" not in names and "pjit" not in names  # inlined
+
+    def test_validates_clean(self, simple_et):
+        assert TraceValidator(simple_et).validate() == []
+
+    def test_tensor_graph(self, simple_et):
+        # first dot_general's output feeds the relu max
+        dots = [n for n in simple_et.get_nodes(clean=True) if n.name == "dot_general"]
+        out_t = simple_et.tensors[dots[0].outputs[0]]
+        assert out_t.sinks  # consumed downstream
+
+    def test_iterations_stamping(self):
+        et = capture_execution_trace(
+            lambda x: x * 2, jnp.ones((4,)), iterations=3
+        )
+        assert et.iterations() == 3
+
+    def test_opaque_scan(self):
+        def f(x):
+            return jax.lax.scan(lambda c, _: (c + 1, None), x, None, length=3)[0]
+
+        et = capture_execution_trace(f, jnp.zeros((2,)))
+        scans = [n for n in et.get_nodes(clean=True) if n.name == "scan"]
+        assert scans and scans[0].params.get("opaque")
+        # inner ops recorded as label children
+        assert any(c for c in scans[0].children)
+
+    def test_graphviz(self, simple_et):
+        dot = simple_et.to_graphviz()
+        assert dot.startswith("digraph") and "dot_general" in dot
+
+
+class TestParamCodec:
+    def test_roundtrip_dtype_tuple(self):
+        import numpy as np
+
+        params = {
+            "dims": ((1,), (0,)),
+            "dtype": np.dtype("float32"),
+            "flag": True,
+            "n": 7,
+        }
+        out = decode_params(encode_params(params))
+        assert out["dims"] == ((1,), (0,))
+        assert out["dtype"] == np.dtype("float32")
+        assert out["flag"] is True and out["n"] == 7
+
+    def test_precision_enum(self):
+        from jax import lax
+
+        enc = encode_params({"precision": lax.Precision.HIGHEST})
+        assert decode_params(enc)["precision"] == lax.Precision.HIGHEST
+
+
+class TestRoundtrip:
+    def test_save_load(self, simple_et, tmp_path):
+        p = str(tmp_path / "et.json.gz")
+        simple_et.save(p)
+        et2 = ExecutionTrace.load(p)
+        assert len(et2.get_nodes(clean=True)) == len(
+            simple_et.get_nodes(clean=True)
+        )
+        assert TraceValidator(et2).validate() == []
+
+    def test_bad_schema(self):
+        with pytest.raises(ValueError):
+            ExecutionTrace({"schema": "bogus"})
+
+
+class TestReplay:
+    def test_full_replay_no_errors(self, simple_et):
+        mgr = EtReplayManager(simple_et)
+        out = mgr.replay(iters=2)
+        assert out["num_skipped"] == 0
+        assert out["errors"] == {}
+        assert out["qps"] > 0
+
+    def test_lazy_allocation_frees(self, simple_et):
+        mgr = EtReplayManager(simple_et, alloc=AllocationMode.LAZY)
+        out = mgr.replay(iters=1)
+        assert out["errors"] == {}
+        # dead intermediates were freed
+        assert len(mgr.registry) < len(simple_et.tensors)
+
+    def test_skip_config(self, simple_et):
+        cfg = ReplayConfig(skip_names={"exp"})
+        mgr = EtReplayManager(simple_et, config=cfg)
+        out = mgr.replay(iters=1)
+        assert out["num_skipped"] >= 1
+
+    def test_numerical_parity(self):
+        """Replaying with the ORIGINAL inputs reproduces the real output."""
+        x = jnp.asarray(np.random.default_rng(0).random((4, 8), dtype=np.float32))
+        w = jnp.asarray(np.random.default_rng(1).random((8, 8), dtype=np.float32))
+        et = capture_execution_trace(lambda x, w: jnp.tanh(x @ w), x, w)
+        mgr = EtReplayManager(et)
+        mgr.preprocess()
+        mgr.registry = {et.in_tensors[0]: x, et.in_tensors[1]: w}
+        for pos, node in enumerate(mgr._nodes):
+            mgr.run_op(pos, node)
+        got = mgr.registry[et.out_tensors[0]]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(jnp.tanh(x @ w)), rtol=1e-6
+        )
+
+    def test_train_step_replay(self):
+        """A full DLRM train step (fwd+bwd+opt) replays op-by-op."""
+        import optax
+
+        from param_tpu.models.dlrm import DlrmConfig, DlrmModel, init_dlrm_params
+
+        cfg = DlrmConfig(
+            num_tables=2, rows_per_table=100, emb_dim=8, nnz=2,
+            dense_dim=8, bot_mlp=[16, 8], top_mlp=[16, 1], batch=16,
+        )
+        model = DlrmModel(cfg)
+        params = init_dlrm_params(jax.random.PRNGKey(0), cfg)
+        opt = optax.sgd(0.01)
+        st = opt.init(params)
+        dense = jnp.ones((16, 8))
+        idx = jnp.zeros((16, 2, 2), jnp.int32)
+        labels = jnp.ones((16,))
+
+        def train(p, st, d, i, l):
+            loss, grads = jax.value_and_grad(model.loss_fn)(p, d, i, l)
+            updates, st = opt.update(grads, st, p)
+            return optax.apply_updates(p, updates), st, loss
+
+        et = capture_execution_trace(train, params, st, dense, idx, labels)
+        out = EtReplayManager(et).replay(iters=1)
+        assert out["num_ops"] > 50
+        assert not out["errors"], out["errors"]
+
+    def test_comm_mode_filter(self, simple_et):
+        mgr = EtReplayManager(simple_et, mode=ReplayMode.COMM)
+        out = mgr.replay(iters=1)
+        assert out["num_ops"] == 0  # no collectives in the simple model
+
+
+class TestPrimitiveRegistry:
+    def test_core_prims_present(self):
+        reg = primitive_registry()
+        for name in ("dot_general", "add", "exp", "reduce_sum", "transpose"):
+            assert name in reg
