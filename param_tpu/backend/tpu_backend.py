@@ -246,8 +246,43 @@ class TpuBackend(Backend):
 
     def all_reduce(self, args: CollectiveArgs):
         g = args.group or self._default_group
+        if args.bitwidth != 32 and args.red_op == "sum":
+            return self.all_reduce_quant(args)
         key = (_group_key(g), "all_reduce", args.red_op)
         body = self._reduce_body(args.red_op, g.axis)
+        prog = self._cached(key, lambda: self._smap(g, body))
+        return self.track(prog(args.in_tensor))
+
+    def all_reduce_quant(self, args: CollectiveArgs):
+        """Quantized allreduce (reference: quantized allreduce hooks,
+        pytorch_dist_backend.py:48-164): bf16 psum at bitwidth 16, int8
+        two-phase reduce-scatter/all-gather at bitwidth 8."""
+        from param_tpu.comms.quantization import quantized_all_reduce
+
+        g = args.group or self._default_group
+        bw = args.bitwidth
+        key = (_group_key(g), "all_reduce_quant", bw)
+
+        def body(x):
+            return quantized_all_reduce(x, g.axis, bw)
+
+        prog = self._cached(key, lambda: self._smap(g, body, check_vma=False))
+        return self.track(prog(args.in_tensor))
+
+    def quant_overhead(self, args: CollectiveArgs):
+        """Quantize+dequantize WITHOUT communication — isolates the quant
+        cost the bench reports as quant_us/dequant_us (reference:
+        commsQuantCollPerfMetrics, logger_utils.py:40-55)."""
+        from param_tpu.comms.quantization import dequantize, quantize
+
+        g = args.group or self._default_group
+        bw = args.bitwidth
+        key = (_group_key(g), "quant_overhead", bw)
+
+        def body(x):
+            q, s = quantize(x, bw)
+            return dequantize(q, s, x.dtype)
+
         prog = self._cached(key, lambda: self._smap(g, body))
         return self.track(prog(args.in_tensor))
 

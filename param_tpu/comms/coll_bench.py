@@ -51,6 +51,7 @@ class CollResult:
     alg_bw_gbs: float = 0.0
     bus_bw_gbs: float = 0.0
     dcheck_ok: Optional[bool] = None
+    quant_us: Optional[float] = None
 
     def pct(self, p):
         return percentile(self.lat_us, p)
@@ -109,6 +110,17 @@ class CollBench(CommsBench):
         res.bus_bw_gbs = res.alg_bw_gbs * bus_bw_factor(collective, group.size)
         if p.bitwidth != 32:
             res.bus_bw_gbs *= p.bitwidth / 32.0
+            # isolate the quantize+dequantize overhead (reference:
+            # quant_us/dequant_us split, pytorch_dist_backend.py:108-164)
+            try:
+                q_per = measure_dispatch(
+                    lambda: self.backend.quant_overhead(args),
+                    p.num_iters,
+                    p.num_warmup_iters,
+                )
+                res.quant_us = q_per * 1e6
+            except Exception:
+                log.exception("quant overhead measurement failed")
         return res
 
     def bench_collective(self, collective: str, group: CommGroup) -> List[CollResult]:

@@ -155,6 +155,16 @@ class CommsBench:
             import jax.numpy as jnp
 
             x = x.astype(self.dtype)
+        if p.bitwidth != 32 and collective not in ("all_reduce", "reduce"):
+            # non-reducing quantized collectives move the cast payload
+            # directly (the reduce path casts inside the program —
+            # quantization.quantized_all_reduce)
+            import jax.numpy as jnp
+
+            from param_tpu.comms.quantization import check_quant_args
+
+            check_quant_args(collective, p.bitwidth)
+            x = x.astype(jnp.bfloat16 if p.bitwidth == 16 else jnp.int8)
         return CollectiveArgs(
             group=group,
             in_tensor=x,

@@ -1,0 +1,94 @@
+"""Quantized-comm and inference-tier tests (CPU mesh)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from param_tpu.backend.base import CollectiveArgs
+from param_tpu.comms.quantization import (
+    check_quant_args,
+    dequantize,
+    quantize,
+    quantized_all_reduce,
+)
+from param_tpu.ops.inference import (
+    bench_inference,
+    mlp_forward_int8,
+    quantize_weights_int8,
+)
+from param_tpu.ops.mlp import init_mlp, mlp_forward
+import jax
+
+
+class TestQuantize:
+    def test_bitwidth16(self):
+        x = jnp.asarray(np.random.rand(64).astype(np.float32))
+        q, s = quantize(x, 16)
+        assert q.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(dequantize(q, s)), np.asarray(x), rtol=1e-2
+        )
+
+    def test_bitwidth8_roundtrip(self):
+        x = jnp.asarray((np.random.rand(256) * 10 - 5).astype(np.float32))
+        q, s = quantize(x, 8)
+        assert q.dtype == jnp.int8
+        out = dequantize(q, s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=0.05)
+
+    def test_zero_tensor(self):
+        q, s = quantize(jnp.zeros(16), 8)
+        np.testing.assert_allclose(np.asarray(dequantize(q, s)), 0.0)
+
+    def test_check_args(self):
+        check_quant_args("all_reduce", 8)
+        with pytest.raises(ValueError):
+            check_quant_args("all_reduce", 4)
+        with pytest.raises(ValueError):
+            check_quant_args("broadcast", 8)
+
+
+class TestQuantizedAllReduce:
+    def test_int8_matches_fp32(self, backend):
+        x = backend.alloc_per_rank(
+            lambda r: np.full((16,), (r + 1) / 8.0, dtype=np.float32)
+        )
+        out = backend.all_reduce(CollectiveArgs(in_tensor=x, bitwidth=8))
+        backend.complete_ops()
+        expect = sum((r + 1) / 8.0 for r in range(8))
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=0.02)
+
+    def test_bf16_matches_fp32(self, backend):
+        x = backend.alloc_per_rank(
+            lambda r: np.full((16,), r + 1, dtype=np.float32)
+        )
+        out = backend.all_reduce(CollectiveArgs(in_tensor=x, bitwidth=16))
+        backend.complete_ops()
+        np.testing.assert_allclose(np.asarray(out), 36.0, rtol=1e-2)
+
+    def test_quant_overhead_measurable(self, backend):
+        x = backend.alloc_ones((64,), jnp.float32)
+        out = backend.quant_overhead(CollectiveArgs(in_tensor=x, bitwidth=8))
+        backend.complete_ops()
+        np.testing.assert_allclose(np.asarray(out), 1.0, atol=0.02)
+
+
+class TestInt8Inference:
+    def test_close_to_fp32(self):
+        params = init_mlp(jax.random.PRNGKey(0), [32, 64, 8])
+        x = jnp.asarray(np.random.rand(4, 32).astype(np.float32))
+        ref = np.asarray(mlp_forward(params, x))
+        q = quantize_weights_int8(params)
+        got = np.asarray(mlp_forward_int8(q, x.astype(jnp.bfloat16)),
+                         dtype=np.float32)
+        np.testing.assert_allclose(got, ref, atol=0.35, rtol=0.1)
+
+    def test_bench_runs(self):
+        res = bench_inference([(2, 32, 32, 32, 16)], dtype="int8",
+                              n_hi=4, reps=1)
+        assert res[0].qps > 0
+
+    def test_bench_fp32(self):
+        res = bench_inference([(2, 32, 32, 32, 16)], dtype="float32",
+                              n_hi=4, reps=1)
+        assert res[0].tflops > 0
