@@ -53,6 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="limit device count (0 = all)")
     ap.add_argument("--reps", type=int, default=3,
                     help="measurement repetitions for percentiles")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace into DIR")
     ap.add_argument("--log", default="INFO")
     ap.add_argument("--list", action="store_true", help="list collectives and exit")
     return ap
@@ -85,7 +87,10 @@ def main(argv=None) -> int:
 
     params = CommsParams.from_args(ns)
     bench = CollBench(backend, params, reps=ns.reps)
-    bench.run()
+    from param_tpu.utils.profiler import profile_to
+
+    with profile_to(ns.profile):
+        bench.run()
     return 0
 
 

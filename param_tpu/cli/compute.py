@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     l.add_argument("--chain", type=int, default=8)
     l.add_argument("--reps", type=int, default=2)
 
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace into DIR")
     ap.add_argument("--log", default="INFO")
     return ap
 
@@ -59,6 +61,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     ns = build_parser().parse_args(argv)
     logging.basicConfig(level=ns.log.upper())
+    from param_tpu.utils.profiler import profile_to
     from param_tpu.ops import datasets
     from param_tpu.ops.compute_bench import (
         bench_emb,
@@ -67,6 +70,8 @@ def main(argv=None) -> int:
         print_results,
     )
 
+    prof = profile_to(ns.profile)
+    prof.__enter__()
     if ns.cmd == "gemm":
         shapes = (
             [tuple(int(x) for x in ns.shape.split(","))]
@@ -97,6 +102,7 @@ def main(argv=None) -> int:
             configs, dtype=ns.dtype, optimizer=ns.optimizer,
             fwd_only=ns.fwd_only, n_hi=ns.chain, reps=ns.reps,
         )
+    prof.__exit__(None, None, None)
     print_results(results, ns.dtype)
     return 0
 

@@ -30,6 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--rebalance-policy", default=None, choices=[None, "equal"])
     ap.add_argument("--use-timestamp", action="store_true")
     ap.add_argument("--output-path", default=None)
+    ap.add_argument("--analyze", action="store_true",
+                    help="print the post-hoc busBW analysis after replay")
     ap.add_argument("--backend", default="tpu")
     ap.add_argument("--log", default="INFO")
     return ap
@@ -59,6 +61,19 @@ def main(argv=None) -> int:
     replay = CommsReplay(backend, params)
     result = replay.run()
     print(json.dumps(result, indent=2, default=str))
+    if ns.analyze and replay.records:
+        from param_tpu.trace.profiler_analysis import analyze_records, print_summary
+
+        print_summary(
+            analyze_records(
+                [
+                    {"comms": r.comms, "size_bytes": r.size_bytes,
+                     "lat_us": r.lat_us}
+                    for r in replay.records
+                ],
+                backend.get_world_size(),
+            )
+        )
     return 0
 
 

@@ -1,0 +1,95 @@
+"""Profiler integration + post-hoc analysis tests."""
+
+import json
+import os
+
+import pytest
+
+from param_tpu.trace.profiler_analysis import (
+    analyze_files,
+    analyze_records,
+    effective_a2a_bytes,
+    print_summary,
+)
+from param_tpu.utils.profiler import SizeTriggeredProfiler, profile_to
+
+
+RECORDS = [
+    {"comms": "all_reduce", "size_bytes": 1024, "lat_us": 100.0},
+    {"comms": "all_reduce", "size_bytes": 1024, "lat_us": 120.0},
+    {"comms": "all_to_all", "size_bytes": 2048, "lat_us": 200.0},
+    {"comms": "compute:gemm", "size_bytes": 0, "lat_us": 50.0},
+]
+
+
+class TestAnalyzeRecords:
+    def test_per_collective_rows(self):
+        out = analyze_records(RECORDS, world_size=8)
+        rows = {r["collective"]: r for r in out["collectives"]}
+        assert rows["all_reduce"]["count"] == 2
+        assert rows["all_reduce"]["total_bytes"] == 2048
+        # busBW factor 2(n-1)/n applied
+        assert rows["all_reduce"]["bus_bw_gbs"] == pytest.approx(
+            rows["all_reduce"]["alg_bw_gbs"] * 2 * 7 / 8
+        )
+
+    def test_compute_excluded(self):
+        out = analyze_records(RECORDS, world_size=8)
+        names = [r["collective"] for r in out["collectives"]]
+        assert "compute:gemm" not in names
+
+    def test_shared_bw(self):
+        out = analyze_records(RECORDS, world_size=8)
+        # 4096 bytes over 420us
+        assert out["shared_bw_gbs"] == pytest.approx(4096 / 1e9 / (420e-6))
+
+    def test_print(self, capsys):
+        print_summary(analyze_records(RECORDS, world_size=8))
+        assert "all_reduce" in capsys.readouterr().out
+
+
+class TestUnevenA2a:
+    def test_max_excluding_self(self):
+        # rank 1 sends [5,0,3], receives [1,0,7] (4-byte elems)
+        b = effective_a2a_bytes([5, 0, 3], [1, 0, 7], rank=1, elem=4)
+        assert b == max(5 + 3, 1 + 7) * 4
+
+
+class TestCrossRank:
+    def test_analyze_files(self, tmp_path):
+        paths = []
+        for r in range(2):
+            p = tmp_path / f"rank{r}.json"
+            p.write_text(json.dumps(RECORDS))
+            paths.append(str(p))
+        out = analyze_files(paths, world_size=8)
+        assert out["num_ranks"] == 2
+        assert any(r["collective"] == "all_reduce" for r in out["cross_rank"])
+
+
+class TestProfiler:
+    def test_profile_to_writes_trace(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        d = str(tmp_path / "prof")
+        with profile_to(d):
+            jax.block_until_ready(jnp.ones((128, 128)) @ jnp.ones((128, 128)))
+        # a plugins/profile dir with at least one trace file appears
+        found = []
+        for root, _, files in os.walk(d):
+            found.extend(files)
+        assert found, "no profiler output written"
+
+    def test_profile_disabled(self):
+        with profile_to(None):
+            pass  # no-op
+
+    def test_size_triggered(self, tmp_path):
+        p = SizeTriggeredProfiler(str(tmp_path / "p2"), trigger_size=1024)
+        p.maybe_start(512)
+        assert not p._active
+        p.maybe_start(2048)
+        assert p._active
+        p.stop()
+        assert not p._active
