@@ -14,6 +14,9 @@ from typing import Iterator, Tuple
 import numpy as np
 
 
+_zipf_cache = {}
+
+
 def gen_indices(
     rng: np.random.Generator,
     batch: int,
@@ -28,11 +31,23 @@ def gen_indices(
     ``zipf``: ranks drawn from a Zipf law and mapped onto the row space —
     the hot-row skew real recommender traffic shows
     (reference: pytorch_emb.py:138-160).
+
+    Uses the native C++ generators (utils.native, ~10x numpy) when
+    libparamdata.so is built; numpy otherwise.
     """
+    from param_tpu.utils import native
+
+    seed = int(rng.integers(0, 2**62))
+    shape = (batch, num_tables, nnz)
     if distribution == "uniform":
-        return rng.integers(0, num_rows, size=(batch, num_tables, nnz)).astype(np.int32)
+        return native.uniform_indices(seed, num_rows, shape)
     if distribution == "zipf":
-        z = rng.zipf(zipf_alpha, size=(batch, num_tables, nnz))
+        if native.native_available():
+            key = (zipf_alpha, num_rows)
+            if key not in _zipf_cache:
+                _zipf_cache[key] = native.ZipfSampler(zipf_alpha, num_rows)
+            return _zipf_cache[key].sample(seed, shape)
+        z = rng.zipf(zipf_alpha, size=shape)
         return ((z - 1) % num_rows).astype(np.int32)
     raise ValueError(f"unknown distribution {distribution!r}")
 
