@@ -134,16 +134,18 @@ def measure_chain(
         float(chain_fn(n))  # compile outside the timed region
         t_hi = min(timed(n) for _ in range(2))
         delta = t_hi - t_lo
-        if delta > max(5 * noise, 0.01) or n >= max_n:
+        if delta > max(8 * noise, 0.02) or n >= max_n:
             break
         n *= 4
-    per = delta / (n - n_lo)
 
-    best = max(per, 1e-9)
+    # median over reps — min() would bias optimistic under round-trip
+    # jitter (a lucky-fast t_hi or unlucky-slow t_lo shrinks the delta)
+    pers = [max(delta / (n - n_lo), 1e-9)]
     for _ in range(max(0, reps - 1)):
         t_lo_r = min(timed(n_lo) for _ in range(2))
         t_hi_r = min(timed(n) for _ in range(2))
         per = (t_hi_r - t_lo_r) / (n - n_lo)
         if per > 0:
-            best = min(best, per)
-    return best
+            pers.append(per)
+    pers.sort()
+    return pers[len(pers) // 2]

@@ -14,18 +14,21 @@ Measured on TPU v5e (1M×128 f32 table, batch 8192, nnz 32):
 ===========================  =========  =====================================
 path                         GB/s       limiter
 ===========================  =========  =====================================
-XLA take, 1M-row table          ~51     XLA row-granular gather loop
-XLA take, ≤128k-row table      ~200     (XLA switches strategy: VMEM-chunked)
+XLA take (any table size)      41-45    ~12 ns/row gather-loop issue rate
 Pallas DMA gather               ~31     DMA issue rate ≈16 ns/row (scalar core)
+hybrid (both concurrently)      ~43     both paths occupy the TensorCore —
+                                        no overlap
 HBM stream roofline            ~819     n/a for random row gather on v5e
 ===========================  =========  =====================================
 
+(Steady-state numbers from long measure_chain runs; table size and index
+locality do NOT move the rate — it is per-row issue cost, not bandwidth.)
+
 v5e has no SparseCore, so random single-row (512 B) gathers are issue-bound,
 not bandwidth-bound.  The system-level fix — and PARAM's own DLRM design — is
-row-sharding tables across chips (``param_tpu.models.dlrm``): each chip then
-gathers from a table 1/N the size (faster per the table above) with N× the
-aggregate HBM bandwidth, paying one all-to-all to redistribute IDs/pooled
-rows over ICI.
+TABLE-wise sharding across chips (``param_tpu.models.dlrm``): each chip looks
+up only its own tables for the full batch (per-chip row count B·nnz·T/N →
+N× aggregate lookup rate), paying one pooled-embedding all-to-all over ICI.
 
 Ragged bags are handled by padding each bag to a fixed ``nnz`` with an index
 pointing at a zero "pad row" appended to the table — no masking in the hot
