@@ -125,6 +125,65 @@ class Backend:
         self.compute_fn: Dict[str, Callable[..., Any]] = {}
         self._pending: List[Any] = []
         self._pending_by_id: Dict[Any, Any] = {}
+        self._trace_recorder: Optional[List[dict]] = None
+
+    # -- comm trace recording ---------------------------------------------
+    def start_trace_recording(self) -> None:
+        """Record every collective call as a basic-schema trace element
+        (the capture side of the comms-trace loop; the reference records
+        these via its profiler/--print-comms paths).  Wraps the dispatch
+        table once — only calls routed through ``collective_fn`` (as the
+        harness does) are recorded, not direct method calls."""
+        if self._trace_recorder is not None:
+            self._trace_recorder = []
+            return
+        self._trace_recorder = []
+        import time as _time
+
+        for name, fn in list(self.collective_fn.items()):
+
+            def wrapped(args: CollectiveArgs, _fn=fn, _name=name):
+                if self._trace_recorder is not None and _name not in (
+                    "barrier", "noop"
+                ):
+                    elems = (
+                        int(np.prod(args.in_tensor.shape))
+                        if args.in_tensor is not None
+                        else 0
+                    )
+                    rec = {
+                        "comms": _name,
+                        "in_msg_size": elems,
+                        "out_msg_size": elems,
+                        "dtype": str(getattr(args.in_tensor, "dtype", "float32")),
+                        "world_size": (args.group or self.get_default_group()).size,
+                        "startTime_ns": _time.monotonic_ns(),
+                    }
+                    if args.group is not None and args.group.pg_id:
+                        rec["pg_id"] = args.group.pg_id
+                        rec["global_ranks"] = [
+                            d.id if hasattr(d, "id") else d
+                            for d in args.group.devices
+                        ]
+                    if args.in_split is not None:
+                        split = np.asarray(args.in_split)
+                        rec["in_split"] = (
+                            split.tolist() if split.ndim == 1 else split[0].tolist()
+                        )
+                        rec["out_split"] = rec["in_split"]
+                    if _name == "pt2pt":
+                        rec["src_rank"] = args.src_ranks[0] if args.src_ranks else 0
+                        rec["dst_rank"] = args.dst_ranks[0] if args.dst_ranks else 0
+                        rec["use_batch"] = False
+                    self._trace_recorder.append(rec)
+                return _fn(args)
+
+            self.collective_fn[name] = wrapped
+
+    def stop_trace_recording(self) -> List[dict]:
+        trace = self._trace_recorder or []
+        self._trace_recorder = None
+        return trace
 
     # -- init / topology ---------------------------------------------------
     def initialize(self) -> None:

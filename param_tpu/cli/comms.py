@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="measurement repetitions for percentiles")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace into DIR")
+    ap.add_argument("--trace-dump", default=None, metavar="PATH",
+                    help="record every collective as a basic-schema comm "
+                         "trace (replayable with cli.replay)")
     ap.add_argument("--log", default="INFO")
     ap.add_argument("--list", action="store_true", help="list collectives and exit")
     return ap
@@ -89,8 +92,16 @@ def main(argv=None) -> int:
     bench = CollBench(backend, params, reps=ns.reps)
     from param_tpu.utils.profiler import profile_to
 
+    if ns.trace_dump:
+        backend.start_trace_recording()
     with profile_to(ns.profile):
         bench.run()
+    if ns.trace_dump:
+        from param_tpu.trace.comms_trace import dump_trace_file
+
+        trace = backend.stop_trace_recording()
+        dump_trace_file(trace, ns.trace_dump)
+        print(f"recorded {len(trace)} comm ops -> {ns.trace_dump}")
     return 0
 
 

@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--update-config", default=None,
                    help="write the auto-updated skip config here")
 
+    g = sub.add_parser("codegen", help="generate a standalone replay script "
+                                       "(reference -g mode)")
+    g.add_argument("path")
+    g.add_argument("-o", "--output", required=True)
+
     ap.add_argument("--log", default="INFO")
     return ap
 
@@ -105,6 +110,15 @@ def main(argv=None) -> int:
         print(f"captured {len(et.get_nodes(clean=True))} ops "
               f"({len(et.tensors)} tensors, {et.iterations()} iterations) "
               f"-> {ns.output}")
+        return 0
+    if ns.cmd == "codegen":
+        from param_tpu.trace.et_replay import generate_code
+
+        et = ExecutionTrace.load(ns.path)
+        code = generate_code(et)
+        with open(ns.output, "w") as f:
+            f.write(code)
+        print(f"wrote replay script ({len(code.splitlines())} lines) -> {ns.output}")
         return 0
     if ns.cmd == "validate":
         et = ExecutionTrace.load(ns.path)

@@ -272,3 +272,148 @@ class EtReplayManager:
             "iter_s": total,
             "qps": len(self._nodes) / total if total else 0.0,
         }
+
+
+# --------------------------------------------------------------- codegen
+_CODEGEN_HEADER = '''\
+"""Standalone replay script generated by param_tpu (cli.et codegen).
+
+Reference analogue: et_replay's code-generator mode (-g).  Each line below
+is one traced op; edit freely.  Requires only jax + numpy.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax import lax
+
+
+def _registry():
+    import jax.extend.core as jex_core
+
+    reg = {}
+    for mod in (lax,):
+        for attr in dir(mod):
+            obj = getattr(mod, attr, None)
+            if isinstance(obj, jex_core.Primitive):
+                reg.setdefault(obj.name, obj)
+    try:
+        from jax._src import ad_util
+
+        for attr in dir(ad_util):
+            obj = getattr(ad_util, attr, None)
+            if isinstance(obj, jex_core.Primitive):
+                reg.setdefault(obj.name, obj)
+    except ImportError:
+        pass
+    return reg
+
+
+def _dec(v):
+    if isinstance(v, dict):
+        if "__dtype__" in v:
+            return np.dtype(v["__dtype__"])
+        if "__tuple__" in v:
+            return tuple(_dec(x) for x in v["__tuple__"])
+        if "__enum__" in v:
+            cls = getattr(lax, v["__enum__"], None)
+            return cls[v["value"]] if cls is not None else v["value"]
+        if "__namedtuple__" in v:
+            cls = getattr(lax, v["__namedtuple__"], None)
+            fields = {k: _dec(x) for k, x in v["fields"].items()}
+            try:
+                return cls(**fields) if cls else tuple(fields.values())
+            except TypeError:
+                return tuple(fields.values())
+        if "__opaque__" in v:
+            return None
+        return {k: _dec(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_dec(x) for x in v]
+    return v
+
+
+REG = _registry()
+
+
+def P(d):
+    d = dict(d)
+    d.pop("opaque", None)
+    d.pop("__literals__", None)
+    return {k: _dec(v) for k, v in d.items()}
+
+
+rng = np.random.default_rng(0)
+nan, inf = float("nan"), float("inf")  # appear in repr'd op params
+
+
+def T(shape, dtype):
+    if np.issubdtype(np.dtype(dtype), np.integer):
+        return jnp.asarray(rng.integers(0, 8, size=shape).astype(dtype))
+    if np.dtype(dtype) == np.bool_:
+        return jnp.asarray(rng.integers(0, 2, size=shape).astype(bool))
+    return jnp.asarray(rng.random(size=shape).astype(np.float32)).astype(dtype)
+
+'''
+
+
+def generate_code(et: ExecutionTrace) -> str:
+    """Emit a standalone Python replay script — the reference's
+    code-generator mode (et_replay.py -g)."""
+    lines = [_CODEGEN_HEADER]
+    lines.append("# ---- inputs " + "-" * 50)
+    emitted = set()
+    for tid in et.in_tensors:
+        t = et.tensors[tid]
+        lines.append(f"t{tid} = T({tuple(t.shape)}, {t.dtype!r})")
+        emitted.add(tid)
+    lines.append("")
+    lines.append("# ---- ops " + "-" * 53)
+    for node in et.get_nodes(clean=True):
+        if node.iteration != 0:
+            break
+        if node.params.get("opaque"):
+            for tid in node.outputs:
+                if tid is not None and tid not in emitted:
+                    t = et.tensors[tid]
+                    lines.append(
+                        f"t{tid} = T({tuple(t.shape)}, {t.dtype!r})"
+                        f"  # {node.name} (opaque: skipped)"
+                    )
+                    emitted.add(tid)
+            continue
+        literals = node.params.get("__literals__", {})
+        args = []
+        for pos, tid in enumerate(node.inputs):
+            if tid is not None:
+                if tid not in emitted:
+                    t = et.tensors[tid]
+                    lines.append(f"t{tid} = T({tuple(t.shape)}, {t.dtype!r})")
+                    emitted.add(tid)
+                args.append(f"t{tid}")
+            elif str(pos) in literals:
+                lit = literals[str(pos)]
+                args.append(
+                    f"jnp.asarray({lit['v']!r}, dtype={lit['dtype']!r})"
+                )
+            else:
+                args.append("jnp.zeros(())")
+        # repr (not JSON) so None/True render as Python literals
+        params_py = repr(
+            {k: v for k, v in node.params.items() if k != "__literals__"}
+        )
+        outs = [f"t{tid}" for tid in node.outputs if tid is not None]
+        target = ", ".join(outs) if outs else "_"
+        arg_str = ", ".join(args)
+        sep = ", " if args else ""
+        call = f'REG[{node.name!r}].bind({arg_str}{sep}**P({params_py}))'
+        lines.append(f"{target} = {call}")
+        emitted.update(t for t in node.outputs if t is not None)
+    lines.append("")
+    out_names = [f"t{t}" for t in et.out_tensors if t in emitted]
+    lines.append(f"jax.block_until_ready([{', '.join(out_names)}])")
+    lines.append(
+        'print("replayed %d ops OK")' % len(et.get_nodes(clean=True))
+    )
+    return "\n".join(lines) + "\n"

@@ -180,3 +180,44 @@ class TestPrimitiveRegistry:
         reg = primitive_registry()
         for name in ("dot_general", "add", "exp", "reduce_sum", "transpose"):
             assert name in reg
+
+
+class TestCodegen:
+    def test_generated_script_executes(self, simple_et, tmp_path):
+        import subprocess
+        import sys
+
+        from param_tpu.trace.et_replay import generate_code
+
+        code = generate_code(simple_et)
+        assert "REG['dot_general'].bind" in code
+        p = tmp_path / "gen.py"
+        p.write_text(code)
+        out = subprocess.run(
+            [sys.executable, str(p)],
+            capture_output=True, text=True, timeout=300,
+            env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/opt/venv/bin"},
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+        assert "replayed" in out.stdout
+
+
+class TestTraceRecording:
+    def test_backend_records_basic_schema(self, backend):
+        import jax.numpy as jnp
+
+        from param_tpu.backend.base import CollectiveArgs
+        from param_tpu.trace.comms_trace import parse_trace
+
+        backend.start_trace_recording()
+        x = backend.alloc_ones((64,), jnp.float32)
+        # recording wraps the dispatch table — route through it like the
+        # harness does (direct method calls bypass the recorder)
+        backend.collective_fn["all_reduce"](CollectiveArgs(in_tensor=x))
+        backend.collective_fn["all_to_all"](CollectiveArgs(in_tensor=x))
+        backend.complete_ops()
+        trace = backend.stop_trace_recording()
+        assert [t["comms"] for t in trace] == ["all_reduce", "all_to_all"]
+        # parses as a replayable basic trace
+        ops = parse_trace(trace)
+        assert ops[0].in_msg_size == 64 * 8  # global elements
