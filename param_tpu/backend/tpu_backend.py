@@ -107,6 +107,32 @@ class TpuBackend(Backend):
         self._groups.append(g)
         return g
 
+    def make_hierarchical_groups(self, hosts: int = 0):
+        """ICI/DCN two-level communicators: per-host (ICI) groups and
+        cross-host (DCN) groups (the reference's PG hierarchy for
+        multi-node runs; SURVEY.md §2.7 mesh-over-ICI×DCN design).
+
+        ``hosts`` defaults to ``jax.process_count()``; with one process the
+        split is synthetic but exercises the same code paths.  Returns
+        (ici_groups, dcn_groups): world = hosts × chips_per_host, ICI group
+        h = the chips of host h, DCN group c = chip index c of every host.
+        """
+        world = len(self._devices)
+        hosts = hosts or max(1, jax.process_count())
+        if world % hosts:
+            raise ValueError(f"world {world} not divisible by hosts {hosts}")
+        per_host = world // hosts
+        ici = [
+            self.new_group(list(range(h * per_host, (h + 1) * per_host)),
+                           pg_id=100 + h)
+            for h in range(hosts)
+        ]
+        dcn = [
+            self.new_group(list(range(c, world, per_host)), pg_id=200 + c)
+            for c in range(per_host)
+        ]
+        return ici, dcn
+
     def make_round_robin_groups(self, num_groups: int) -> List[CommGroup]:
         """``--multi-comms`` style round-robin rank→group assignment
         (reference: comms.py:1443-1456)."""

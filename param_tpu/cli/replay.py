@@ -20,7 +20,7 @@ def build_parser() -> argparse.ArgumentParser:
         prog="param_tpu.replay", description="PARAM-TPU comm trace replay"
     )
     ap.add_argument("--trace-path", required=True)
-    ap.add_argument("--trace-type", default="basic", choices=["basic"])
+    ap.add_argument("--trace-type", default="basic", choices=["basic", "et"])
     ap.add_argument("--dry-run", action="store_true")
     ap.add_argument("--num-replays", "--r", type=int, default=1)
     ap.add_argument("--num-warmup-replays", type=int, default=1)

@@ -12,6 +12,9 @@ from __future__ import annotations
 import gzip
 import json
 import re
+
+import numpy as np
+
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -160,3 +163,58 @@ def dump_trace_file(ops: Sequence[dict], path: str) -> None:
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "wt") as f:
         json.dump(list(ops), f, indent=2)
+
+
+def comms_from_et(et, world_size: int) -> List["CommsOp"]:
+    """Extract the collective stream from an execution trace as replayable
+    comm ops (reference: commsTraceParser._parseExecutionTrace — pulls
+    record_param_comms nodes out of a PyTorch ET; here: collective
+    primitives out of the flattened jaxpr, including those inside opaque
+    shard_map scopes where they appear as label children).
+    """
+    from param_tpu.trace.execution_trace import COMM_PRIMITIVES
+
+    name_map = {
+        "psum": "all_reduce",
+        "all_reduce": "all_reduce",
+        "pmax": "all_reduce",
+        "pmin": "all_reduce",
+        "all_gather": "all_gather",
+        "psum_scatter": "reduce_scatter",
+        "reduce_scatter": "reduce_scatter",
+        "all_to_all": "all_to_all",
+        "ragged_all_to_all": "all_to_allv",
+        "ppermute": "pt2pt",
+        "collective_permute": "pt2pt",
+    }
+    out: List[CommsOp] = []
+    nodes = sorted(et.nodes.values(), key=lambda n: n.id)
+    for n in nodes:
+        if n.name not in COMM_PRIMITIVES:
+            continue
+        tin = next((et.tensors[t] for t in n.inputs
+                    if t is not None and t in et.tensors), None)
+        tout = next((et.tensors[t] for t in n.outputs
+                     if t is not None and t in et.tensors), None)
+        in_elems = int(np.prod(tin.shape)) if tin and tin.shape else 1
+        out_elems = int(np.prod(tout.shape)) if tout and tout.shape else in_elems
+        op = CommsOp(
+            id=n.id,
+            comms=name_map.get(n.name, n.name),
+            in_msg_size=in_elems,
+            out_msg_size=out_elems,
+            dtype=(tin.dtype if tin else "float32"),
+            world_size=world_size,
+            markers=[n.name],
+        )
+        if op.comms == "pt2pt":
+            perm = n.params.get("perm") or n.params.get("permutation")
+            if isinstance(perm, dict):
+                perm = None
+            if perm:
+                first = perm[0]
+                pair = first.get("__tuple__", first) if isinstance(first, dict) else first
+                if isinstance(pair, (list, tuple)) and len(pair) == 2:
+                    op.src_rank, op.dst_rank = int(pair[0]), int(pair[1])
+        out.append(op)
+    return out

@@ -77,9 +77,22 @@ class CommsReplay:
     # ---------------------------------------------------------------- loading
     def load(self, trace: Optional[List[dict]] = None) -> None:
         """(reference: readTrace, commsTraceReplay.py:1485-1514)"""
-        if trace is None:
-            trace = read_trace_file(self.params.trace_path)
-        self.ops = parse_trace(trace, self.params.trace_type)
+        if self.params.trace_type == "et":
+            # extract the collective stream from an execution trace
+            # (reference: et-format comm parsing, commsTraceParser.py:46-55)
+            from param_tpu.trace.comms_trace import comms_from_et
+            from param_tpu.trace.execution_trace import ExecutionTrace
+
+            et = (
+                ExecutionTrace.load(self.params.trace_path)
+                if trace is None
+                else ExecutionTrace(trace)
+            )
+            self.ops = comms_from_et(et, self.backend.get_world_size())
+        else:
+            if trace is None:
+                trace = read_trace_file(self.params.trace_path)
+            self.ops = parse_trace(trace, self.params.trace_type)
         if self.params.auto_shrink:
             self._shrink_to_world()
         if self.params.rebalance_policy == "equal":

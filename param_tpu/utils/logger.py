@@ -125,3 +125,22 @@ def emit_metrics(metrics) -> None:
             lg.log_metrics(metrics)
         except Exception:  # noqa: BLE001 — a bad sink must not kill the bench
             log.exception("perf logger failed")
+
+
+def setup_rank_logging(rank: int = 0, level: str = "INFO") -> None:
+    """Rank-tagged log format (reference: comms_utils.py:1899-1906)."""
+    logging.basicConfig(
+        level=level.upper(),
+        format=f"[%(asctime)s][rank {rank}][%(levelname)s] "
+               "%(name)s: %(message)s",
+        force=True,
+    )
+
+
+def graceful_exit(msg: str = "", code: int = 1):
+    """(reference: gracefulExit, comms_utils.py:83-96)"""
+    import sys
+
+    if msg:
+        log.error(msg)
+    raise SystemExit(code)
