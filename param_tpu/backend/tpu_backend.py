@@ -24,8 +24,6 @@ multi-host ``jax.distributed`` the same programs span hosts unchanged.
 from __future__ import annotations
 
 import logging
-import math
-from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax

@@ -43,7 +43,6 @@ def main(argv=None) -> int:
 
     import jax
     import numpy as np
-    import optax
     from jax.sharding import Mesh
 
     from param_tpu.models.dlrm import DlrmConfig, DlrmModel

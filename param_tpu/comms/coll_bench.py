@@ -17,7 +17,7 @@ import logging
 from dataclasses import dataclass, field
 from typing import List, Optional
 
-from param_tpu.backend.base import Backend, CollectiveArgs, CommGroup
+from param_tpu.backend.base import Backend, CommGroup
 from param_tpu.comms.harness import CommsBench, CommsParams
 from param_tpu.comms.timing import (
     TimingMode,

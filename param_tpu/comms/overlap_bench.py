@@ -27,7 +27,7 @@ from __future__ import annotations
 import functools
 import logging
 from dataclasses import dataclass
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ genericlist, tuple, device.
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from typing import Any, Dict, List, Tuple, Type
+from typing import Any, Dict, Tuple, Type
 
 import jax
 import jax.numpy as jnp

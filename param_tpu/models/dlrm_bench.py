@@ -17,8 +17,7 @@ split it further without profiler traces).
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +26,7 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from param_tpu.comms.timing import measure_chain
-from param_tpu.models.dlrm import AXIS, DlrmConfig, DlrmModel, _forward_local, \
+from param_tpu.models.dlrm import AXIS, DlrmModel, _forward_local, \
     _lookup_local_tables, init_dlrm_params
 from param_tpu.models.dlrm_data import RandomDataset
 from param_tpu.utils.dtypes import dtype_size

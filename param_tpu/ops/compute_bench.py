@@ -26,7 +26,7 @@ from jax import lax
 from param_tpu.comms.timing import measure_chain
 from param_tpu.ops.embedding import embedding_bytes
 from param_tpu.ops.matmul import gemm_flops, matmul_pallas
-from param_tpu.ops.mlp import init_mlp, make_optimizer, make_train_step, mlp_flops
+from param_tpu.ops.mlp import init_mlp, make_optimizer, mlp_flops
 from param_tpu.utils.chip import detect_chip, matmul_roofline_tflops
 from param_tpu.utils.dtypes import dtype_from_name, dtype_size
 from param_tpu.utils.logger import ComputePerfMetrics, emit_metrics

@@ -13,7 +13,7 @@ fp16 / int8 quantization — ``infer_gpu:89``, ``infer_nnpi:35``).  Paths:
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -156,8 +156,6 @@ class ExecutionTrace:
         }
 
     def save(self, path: str) -> None:
-        from param_tpu.trace.comms_trace import dump_trace_file
-
         opener_data = self.to_json()
         if path.endswith(".gz"):
             import gzip

@@ -17,7 +17,7 @@ from __future__ import annotations
 import json
 from collections import defaultdict
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 from param_tpu.utils.bw import alg_bw, bus_bw_factor
 from param_tpu.utils.sizes import percentile

@@ -139,8 +139,6 @@ def setup_rank_logging(rank: int = 0, level: str = "INFO") -> None:
 
 def graceful_exit(msg: str = "", code: int = 1):
     """(reference: gracefulExit, comms_utils.py:83-96)"""
-    import sys
-
     if msg:
         log.error(msg)
     raise SystemExit(code)

@@ -204,7 +204,6 @@ class TestEtCommExtraction:
                                               blocking=True, do_warmup=False))
         r.ops = comms
         r._setup_groups()
-        out = r.report() if False else None
         r.replay_once()
         assert len(r.records) == len(comms)
 
