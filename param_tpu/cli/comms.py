@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--trace-dump", default=None, metavar="PATH",
                     help="record every collective as a basic-schema comm "
                          "trace (replayable with cli.replay)")
+    ap.add_argument("--output-json", default=None, metavar="PATH",
+                    help="append metric records as JSON lines (perf-logger "
+                         "sink; reference register_perf_logger)")
+    ap.add_argument("--n-per-iter", type=int, default=1,
+                    help="collective posts per timed iteration "
+                         "(reference --n-per-iter / numCollPerIter)")
     ap.add_argument("--log", default="INFO")
     ap.add_argument("--list", action="store_true", help="list collectives and exit")
     return ap
@@ -89,8 +95,14 @@ def main(argv=None) -> int:
         backend.initialize()
 
     params = CommsParams.from_args(ns)
+    params.num_coll_per_iter = ns.n_per_iter
     bench = CollBench(backend, params, reps=ns.reps)
     from param_tpu.utils.profiler import profile_to
+
+    if ns.output_json:
+        from param_tpu.utils.logger import FileJsonLogger, register_perf_logger
+
+        register_perf_logger("file", FileJsonLogger(ns.output_json))
 
     if ns.trace_dump:
         backend.start_trace_recording()

@@ -80,7 +80,16 @@ class CollBench(CommsBench):
             self.backend.complete_ops()
             res.dcheck_ok = self.dcheck(collective, args, out)
 
-        call = lambda: fn(args)  # noqa: E731
+        k = max(1, p.num_coll_per_iter)
+
+        def call():
+            # reference posts numCollPerIter collectives per timed iteration
+            # (comms.py:493-494); latency is reported per ITERATION
+            r = None
+            for _ in range(k):
+                r = fn(args)
+            return r
+
         if p.mode == TimingMode.BLOCKING:
             lats = measure_blocking(call, p.num_iters, p.num_warmup_iters)
             res.lat_us = [t * 1e6 for t in lats]

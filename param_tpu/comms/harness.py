@@ -55,6 +55,7 @@ class CommsParams:
     bitwidth: int = 32
     quant_threshold: int = 0
     num_groups: int = 1  # --multi-comms round-robin groups
+    num_coll_per_iter: int = 1  # posts per timed iteration (reference --n-per-iter)
     in_split: Optional[List[int]] = None
     out_split: Optional[List[int]] = None
     size_list: Optional[List[int]] = None  # explicit --ss sizes
