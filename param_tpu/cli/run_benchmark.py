@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--mode", default="chain", choices=["chain", "discrete"])
     ap.add_argument("--resume-op-run-id", default=None)
     ap.add_argument("--stop-op-run-id", default=None)
+    ap.add_argument("--xla-dump", default=None, metavar="DIR",
+                    help="dump optimized HLO to DIR (summarize with "
+                         "param_tpu.trace.hlo_summary)")
     ap.add_argument("--log", default="INFO")
     return ap
 
@@ -38,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     ns = build_parser().parse_args(argv)
     logging.basicConfig(level=ns.log.upper())
+    if ns.xla_dump:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + f" --xla_dump_to={ns.xla_dump}"
+        ).strip()
     from param_tpu.microbench.benchmark import Benchmark, BenchmarkConfig, RunOptions
 
     stream = None

@@ -93,3 +93,34 @@ class TestProfiler:
         assert p._active
         p.stop()
         assert not p._active
+
+
+class TestHloSummary:
+    def test_parse_counts(self):
+        from param_tpu.trace.hlo_summary import summarize_hlo_text
+
+        hlo = """
+HloModule jit_f
+ENTRY main {
+  %p0 = f32[8,8]{1,0} parameter(0)
+  %p1 = f32[8,8]{1,0} parameter(1)
+  %dot = f32[8,8]{1,0} dot(%p0, %p1), lhs_contracting_dims={1}
+  %ar = f32[8,8]{1,0} all-reduce(%dot), to_apply=%sum
+  ROOT %f = f32[8,8]{1,0} fusion(%ar), kind=kLoop
+}
+"""
+        ops = summarize_hlo_text(hlo)
+        assert ops["parameter"] == 2
+        assert ops["dot"] == 1
+        assert ops["all-reduce"] == 1
+        assert ops["fusion"] == 1
+
+    def test_dump_dir(self, tmp_path):
+        from param_tpu.trace.hlo_summary import summarize_dump_dir
+
+        (tmp_path / "m1.after_optimizations.txt").write_text(
+            "%a = f32[2]{0} parameter(0)\n%r = f32[2]{0} all-gather(%a)\n"
+        )
+        out = summarize_dump_dir(str(tmp_path))
+        assert out["num_modules"] == 1
+        assert out["total_collectives"] == 1
