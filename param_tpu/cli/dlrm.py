@@ -33,6 +33,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--print-comms", default=None, metavar="PATH",
                     help="dump the per-step comm pattern as a basic-schema "
                          "JSON trace to PATH and exit")
+    ap.add_argument("--train-batches", type=int, default=0,
+                    help="run an end-to-end training loop for N batches on "
+                         "synthetic data and report loss curve + held-out "
+                         "AUC (the e2e DLRM the reference delegates to "
+                         "facebookresearch/dlrm)")
+    ap.add_argument("--data", default="synthetic", choices=["synthetic", "random"])
+    ap.add_argument("--data-distribution", default="uniform",
+                    choices=["uniform", "zipf"])
     ap.add_argument("--log", default="INFO")
     return ap
 
@@ -71,8 +79,66 @@ def main(argv=None) -> int:
         print(f"wrote comm pattern to {ns.print_comms}")
         return 0
 
+    if ns.train_batches:
+        return train_e2e(model, cfg, ns)
+
     results = bench.run(reps=ns.reps, n_hi=ns.chain)
     bench.report(results)
+    return 0
+
+
+def train_e2e(model, cfg, ns) -> int:
+    """End-to-end hybrid-parallel training with loss curve and AUC."""
+    import time
+
+    import jax
+    import numpy as np
+    import optax
+
+    from param_tpu.models.dlrm import init_dlrm_params
+    from param_tpu.models.dlrm_data import data_loader
+    from param_tpu.ops.mlp import make_optimizer
+
+    ds = data_loader(
+        ns.data,
+        batch=cfg.batch, dense_dim=cfg.dense_dim, num_tables=cfg.num_tables,
+        nnz=cfg.nnz, num_rows=cfg.rows_per_table,
+        num_batches=ns.train_batches + 1, distribution=ns.data_distribution,
+    )
+    batches = list(ds)
+    params = init_dlrm_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(ns.optimizer, ns.lr)
+    step = model.make_train_step(opt)
+    params, _ = model.place(params, batches[0])
+    st = opt.init(params)
+    t0 = time.perf_counter()
+    for i, (dense, idx, labels) in enumerate(batches[:-1]):
+        _, b = model.place(jax.tree.map(np.asarray, params), (dense, idx, labels))
+        params, st, loss = step(params, st, *b)
+        if i % max(1, ns.train_batches // 10) == 0:
+            print(f"batch {i:5d}  loss {float(loss):.5f}")
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+    # held-out AUC
+    from param_tpu.models.dlrm import DlrmModel
+
+    dense, idx, labels = batches[-1]
+    host_params = jax.tree.map(np.asarray, params)
+    logits = np.asarray(
+        DlrmModel(cfg).forward(host_params, np.asarray(dense), np.asarray(idx))
+    )
+    order = np.argsort(logits)
+    ranks = np.empty_like(order, dtype=np.float64)
+    ranks[order] = np.arange(len(logits))
+    pos = labels > 0.5
+    n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+    auc = (
+        (ranks[pos].sum() - n_pos * (n_pos - 1) / 2) / (n_pos * n_neg)
+        if n_pos and n_neg else 0.5
+    )
+    qps = ns.train_batches * cfg.batch / dt
+    print(f"DLRM-E2E batches={ns.train_batches} wall={dt:.1f}s "
+          f"QPS={qps:.0f} held-out AUC={auc:.4f}")
     return 0
 
 
