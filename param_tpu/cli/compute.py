@@ -28,6 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="explicit M,N,K (overrides --dataset)")
     g.add_argument("--dtype", default="float32")
     g.add_argument("--pallas", action="store_true", help="use the Pallas kernel")
+    g.add_argument("--precision", default="default", choices=["default", "highest"],
+                   help="'highest' forces true-f32 multiplication passes")
     g.add_argument("--chain", type=int, default=16)
     g.add_argument("--reps", type=int, default=2)
 
@@ -80,7 +82,7 @@ def main(argv=None) -> int:
         )
         results = bench_gemm(
             shapes, dtype=ns.dtype, n_hi=ns.chain, reps=ns.reps,
-            use_pallas=ns.pallas,
+            use_pallas=ns.pallas, precision=ns.precision,
         )
     elif ns.cmd == "emb":
         configs = (

@@ -62,11 +62,23 @@ def bench_gemm(
     n_hi: int = 16,
     reps: int = 2,
     use_pallas: bool = False,
+    precision: str = "default",
 ) -> List[ComputeResult]:
-    """(reference: pytorch_gemm.py measure/measure_xla)"""
+    """(reference: pytorch_gemm.py measure/measure_xla)
+
+    ``precision``: XLA matmul precision.  NOTE: 'default' on TPU computes
+    f32 matmuls with bf16 multiplications (f32 accumulation) — the moral
+    equivalent of torch's TF32-by-default on GPU, so defaults-vs-defaults
+    is the fair reference comparison; pass 'highest' for true f32
+    multiplication passes."""
+    from jax import lax as _lax
+
     dt = dtype_from_name(dtype)
     chip = detect_chip()
     peak = matmul_roofline_tflops(chip, dtype)
+    prec = (
+        _lax.Precision.HIGHEST if precision == "highest" else _lax.Precision.DEFAULT
+    )
     results = []
     for m, n, k in shapes:
         rng = np.random.default_rng(0)
@@ -78,7 +90,8 @@ def bench_gemm(
                 return matmul_pallas(x, b)
         else:
             def op(x):
-                return jnp.dot(x, b, preferred_element_type=jnp.float32)
+                return jnp.dot(x, b, preferred_element_type=jnp.float32,
+                               precision=prec)
 
         @functools.partial(jax.jit, static_argnames="nn")
         def chain(a, nn):
