@@ -181,3 +181,105 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestRaggedPath:
+    def test_ragged_loss_matches_dense_when_full(self, mesh):
+        """With every bag full (lengths == nnz) the ragged path must equal
+        the fixed-nnz path exactly."""
+        import optax
+
+        cfg = tiny_cfg()
+        model = DlrmModel(cfg, mesh)
+        params = init_dlrm_params(jax.random.PRNGKey(0), cfg)
+        # pad tables with the zero row the ragged path points padding at
+        padded = dict(params)
+        padded["tables"] = jnp.concatenate(
+            [params["tables"],
+             jnp.zeros((cfg.num_tables, 1, cfg.emb_dim), params["tables"].dtype)],
+            axis=1,
+        )
+        ds = RandomDataset(batch=cfg.batch, dense_dim=cfg.dense_dim,
+                           num_tables=cfg.num_tables, nnz=cfg.nnz,
+                           num_rows=cfg.rows_per_table, num_batches=1)
+        dense, idx, labels = next(iter(ds))
+        lengths = np.full((cfg.batch, cfg.num_tables), cfg.nnz, np.int32)
+
+        params_p, batch_p = model.place(params, (dense, idx, labels))
+        dense_loss = model.make_sharded_loss()(params_p, *batch_p)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        padded_p = jax.device_put(padded, model.shardings()[0])
+        lt = jax.device_put(lengths, NamedSharding(mesh, P("x", None)))
+        rl = model.make_sharded_loss_ragged()(
+            padded_p, batch_p[0], lt, batch_p[1], batch_p[2]
+        )
+        np.testing.assert_allclose(float(rl), float(dense_loss), rtol=1e-6)
+
+    def test_ragged_loss_with_variable_lengths(self, mesh):
+        """Variable-length bags run and differ from the all-full case."""
+        cfg = tiny_cfg()
+        model = DlrmModel(cfg, mesh)
+        params = init_dlrm_params(jax.random.PRNGKey(0), cfg)
+        padded = dict(params)
+        padded["tables"] = jnp.concatenate(
+            [params["tables"],
+             jnp.zeros((cfg.num_tables, 1, cfg.emb_dim), params["tables"].dtype)],
+            axis=1,
+        )
+        rng = np.random.default_rng(0)
+        dense = rng.normal(size=(cfg.batch, cfg.dense_dim)).astype(np.float32)
+        idx = rng.integers(0, cfg.rows_per_table,
+                           size=(cfg.batch, cfg.num_tables, cfg.nnz)).astype(np.int32)
+        labels = rng.integers(0, 2, size=(cfg.batch,)).astype(np.float32)
+        lengths = rng.integers(0, cfg.nnz + 1,
+                               size=(cfg.batch, cfg.num_tables)).astype(np.int32)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        padded_p = jax.device_put(padded, model.shardings()[0])
+        d = jax.device_put(dense, NamedSharding(mesh, P("x", None)))
+        i = jax.device_put(idx, NamedSharding(mesh, P("x", None, None)))
+        l = jax.device_put(labels, NamedSharding(mesh, P("x")))
+        lt = jax.device_put(lengths, NamedSharding(mesh, P("x", None)))
+        loss_fn = model.make_sharded_loss_ragged()
+        rl = float(loss_fn(padded_p, d, lt, i, l))
+        full = np.full_like(lengths, cfg.nnz)
+        lt_full = jax.device_put(full, NamedSharding(mesh, P("x", None)))
+        rl_full = float(loss_fn(padded_p, d, lt_full, i, l))
+        assert np.isfinite(rl) and np.isfinite(rl_full)
+        assert rl != rl_full  # masking changed the pooled sums
+
+
+class TestRaggedDistOracle:
+    def test_matches_numpy_oracle(self, mesh):
+        """ragged_sparse_dist output matches the per-rank numpy oracle."""
+        from jax.sharding import PartitionSpec as P
+
+        from param_tpu.models.ragged import ragged_reference, ragged_sparse_dist
+
+        n, b, T, K, E = 8, 3, 8, 5, 100
+        B = n * b
+        rng = np.random.default_rng(0)
+        lengths = rng.integers(0, K + 1, size=(B, T)).astype(np.int32)
+        idx = rng.integers(0, E, size=(B, T, K)).astype(np.int32)
+
+        f = jax.jit(
+            jax.shard_map(
+                lambda l, i: ragged_sparse_dist(l, i, "x", pad_row=E),
+                mesh=mesh,
+                in_specs=(P("x", None), P("x", None, None)),
+                out_specs=(P("x", None), P("x", None, None)),
+                check_vma=False,
+            )
+        )
+        lt, it = f(jnp.asarray(lengths), jnp.asarray(idx))
+        Tl = T // n
+        lt_g = np.asarray(lt).reshape(n, B, Tl)
+        it_g = np.asarray(it).reshape(n, B, Tl, K)
+        for j, (exp_lt, exp_it) in enumerate(
+            ragged_reference(lengths, idx, n, pad_row=E)
+        ):
+            np.testing.assert_array_equal(lt_g[j], exp_lt)
+            np.testing.assert_array_equal(it_g[j], exp_it)
