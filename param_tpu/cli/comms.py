@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="measurement repetitions for percentiles")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace into DIR")
+    ap.add_argument("--size-start-profiler", default=None, metavar="SIZE",
+                    help="start the profiler only once the sweep reaches "
+                         "this message size (reference comms.py:1335-1349)")
     ap.add_argument("--trace-dump", default=None, metavar="PATH",
                     help="record every collective as a basic-schema comm "
                          "trace (replayable with cli.replay)")
@@ -106,8 +109,20 @@ def main(argv=None) -> int:
 
     if ns.trace_dump:
         backend.start_trace_recording()
-    with profile_to(ns.profile):
-        bench.run()
+    if ns.size_start_profiler and ns.profile:
+        from param_tpu.utils.profiler import SizeTriggeredProfiler
+        from param_tpu.utils.sizes import parse_size
+
+        bench.profiler = SizeTriggeredProfiler(
+            ns.profile, parse_size(ns.size_start_profiler)
+        )
+        try:
+            bench.run()
+        finally:
+            bench.profiler.stop()
+    else:
+        with profile_to(ns.profile):
+            bench.run()
     if ns.trace_dump:
         from param_tpu.trace.comms_trace import dump_trace_file
 

@@ -63,6 +63,7 @@ class CollBench(CommsBench):
     def __init__(self, backend: Backend, params: CommsParams, reps: int = 3):
         super().__init__(backend, params)
         self.reps = reps
+        self.profiler = None  # optional SizeTriggeredProfiler
 
     def run_one(
         self, collective: str, size_bytes: int, group: CommGroup
@@ -135,6 +136,8 @@ class CollBench(CommsBench):
     def bench_collective(self, collective: str, group: CommGroup) -> List[CollResult]:
         results = []
         for size in self.sweep_sizes(collective, group):
+            if self.profiler is not None:
+                self.profiler.maybe_start(size)
             try:
                 results.append(self.run_one(collective, size, group))
             except Exception:

@@ -72,6 +72,12 @@ def quantized_all_reduce(x, axis: str, bitwidth: int):
     if bitwidth == 16:
         return lax.psum(x.astype(jnp.bfloat16), axis).astype(x.dtype)
     n = lax.axis_size(axis)
+    # pad so the chunking dim divides the axis size
+    orig = x.shape[0]
+    rem = (-orig) % n
+    if rem:
+        pad_width = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
+        x = jnp.pad(x, pad_width)
     # phase 1: exchange quantized chunks (reduce-scatter)
     q, scale = quantize(x, 8)
     mixed = lax.all_to_all(q, axis, 0, 0, tiled=True)  # my chunk from all ranks
@@ -85,7 +91,10 @@ def quantized_all_reduce(x, axis: str, bitwidth: int):
     scales2 = lax.all_gather(scale2, axis)
     out = gathered.reshape(n, chunk, *x.shape[1:]).astype(jnp.float32)
     out = out * scales2.reshape(n, *([1] * x.ndim))
-    return out.reshape(x.shape).astype(x.dtype)
+    out = out.reshape(x.shape).astype(x.dtype)
+    if rem:
+        out = out[:orig]
+    return out
 
 
 def quantized_cast_collective(x, bitwidth: int):

@@ -92,3 +92,16 @@ class TestInt8Inference:
         res = bench_inference([(2, 32, 32, 32, 16)], dtype="float32",
                               n_hi=4, reps=1)
         assert res[0].tflops > 0
+
+
+class TestQuantPadding:
+    def test_int8_allreduce_odd_elements(self, backend):
+        """Element counts that don't divide the group size must pad/slice."""
+        x = backend.alloc_per_rank(
+            lambda r: np.full((3,), (r + 1) / 4.0, dtype=np.float32)
+        )
+        out = backend.all_reduce(CollectiveArgs(in_tensor=x, bitwidth=8))
+        backend.complete_ops()
+        expect = sum((r + 1) / 4.0 for r in range(8))
+        assert np.asarray(out).shape == (24,)
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=0.02)
