@@ -144,3 +144,19 @@ class TestMlp:
     def test_infer(self):
         params = init_mlp(jax.random.PRNGKey(0), [4, 4])
         assert infer_step(params, jnp.ones((2, 4))).shape == (2, 4)
+
+
+class TestPadTableDim:
+    def test_pads_to_multiple(self):
+        from param_tpu.ops.embedding import pad_table_dim
+
+        t = jnp.ones((10, 56))
+        p = pad_table_dim(t)
+        assert p.shape == (10, 64)
+        np.testing.assert_allclose(np.asarray(p)[:, 56:], 0.0)
+
+    def test_noop_when_aligned(self):
+        from param_tpu.ops.embedding import pad_table_dim
+
+        t = jnp.ones((10, 128))
+        assert pad_table_dim(t) is t
