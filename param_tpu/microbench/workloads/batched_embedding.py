@@ -36,8 +36,11 @@ class BatchedEmbeddingOp(OperatorInterface):
                 out = out / idx.shape[-1]
             return out
 
-        # indices: (B, T, nnz) → (B, T, D)
-        return jax.vmap(one, in_axes=(0, 1), out_axes=1)(self.tables, indices)
+        # indices: (B, T, nnz) → (B, T, D); unrolled over tables (batched
+        # scatter in the backward is ~7.5x slower than per-table scatters)
+        outs = [one(self.tables[t], indices[:, t])
+                for t in range(self.tables.shape[0])]
+        return jnp.stack(outs, axis=1)
 
     def cleanup(self):
         self.tables = None
