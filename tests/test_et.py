@@ -221,3 +221,26 @@ class TestTraceRecording:
         # parses as a replayable basic trace
         ops = parse_trace(trace)
         assert ops[0].in_msg_size == 64 * 8  # global elements
+
+
+class TestBundledFixtures:
+    """Fixture-file tests (reference model: et_replay/tests/
+    test_execution_trace.py loading bundled gzipped ETs)."""
+
+    FIXTURES = [
+        "tests/fixtures/linear_et.json.gz",
+        "tests/fixtures/dlrm_train_et.json.gz",
+        "tests/fixtures/transformer_block_et.json.gz",
+    ]
+
+    @pytest.mark.parametrize("path", FIXTURES)
+    def test_load_and_validate(self, path):
+        et = ExecutionTrace.load(path)
+        assert TraceValidator(et).validate() == []
+        assert TraceValidator(et).num_ops() > 3
+
+    @pytest.mark.parametrize("path", FIXTURES)
+    def test_replay_clean(self, path):
+        et = ExecutionTrace.load(path)
+        out = EtReplayManager(et).replay(iters=1)
+        assert not out["errors"], out["errors"]
