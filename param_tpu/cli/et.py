@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--iters", type=int, default=1)
     r.add_argument("--warmup", type=int, default=1)
     r.add_argument("--config", default=None, help="skip-node replay config JSON")
+    r.add_argument("--inputs", default=None,
+                   help=".npz with tensor-id -> array input overrides")
     r.add_argument("--update-config", default=None,
                    help="write the auto-updated skip config here")
 
@@ -137,6 +139,7 @@ def main(argv=None) -> int:
         mode=ReplayMode(ns.mode),
         alloc=AllocationMode(ns.alloc),
         config=config,
+        inputs_file=ns.inputs,
     )
     out = mgr.replay(iters=ns.iters, warmup=ns.warmup)
     print(json.dumps(out, indent=2))

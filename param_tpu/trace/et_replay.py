@@ -118,12 +118,20 @@ class EtReplayManager:
         alloc: AllocationMode = AllocationMode.PRE,
         config: Optional[ReplayConfig] = None,
         seed: int = 0,
+        inputs_file: Optional[str] = None,
     ):
         self.et = et
         self.mode = mode
         self.alloc = alloc
         self.config = config or ReplayConfig()
         self.seed = seed
+        # optional .npz mapping tensor-id -> array, overriding random init
+        # (reference: tensors-from-dumped-files, et_replay.py
+        # get_tensor_from_file:847)
+        self.inputs: Dict[int, Any] = {}
+        if inputs_file:
+            loaded = np.load(inputs_file)
+            self.inputs = {int(k): loaded[k] for k in loaded.files}
         self.registry: Dict[int, Any] = {}  # tensor id → value
         self.last_use: Dict[int, int] = {}
         self.skipped: List[int] = []
@@ -171,9 +179,12 @@ class EtReplayManager:
                 if tid is not None and tid not in produced:
                     needed.add(tid)
             produced.update(t for t in n.outputs if t is not None)
+        for tid, arr in self.inputs.items():
+            if tid in self.et.tensors:
+                self.registry[tid] = jnp.asarray(arr)
         if self.alloc == AllocationMode.PRE:
             for tid in needed:
-                if tid in self.et.tensors:
+                if tid in self.et.tensors and tid not in self.registry:
                     self.registry[tid] = self._alloc_tensor(tid, rng)
         else:
             self._lazy_needed = needed
