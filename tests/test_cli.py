@@ -68,3 +68,27 @@ class TestSmallRuns:
 
         assert main(["gemm", "--shape", "64,64,64", "--chain", "2",
                      "--reps", "1"]) == 0
+
+
+class TestDlrmE2E:
+    def test_train_mode(self, backend, capsys):
+        from param_tpu.cli.dlrm import main
+
+        rc = main([
+            "--num-tables", "8", "--rows", "500", "--emb-dim", "16",
+            "--nnz", "4", "--dense-dim", "16", "--arch-mlp-bot", "32-16",
+            "--arch-mlp-top", "32-1", "--batch", "64",
+            "--train-batches", "5",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "DLRM-E2E" in out and "AUC" in out
+
+    def test_et_codegen_cli(self, tmp_path):
+        from param_tpu.cli.et import main
+
+        et_path = str(tmp_path / "et.json.gz")
+        assert main(["capture", "--workload", "mlp", "-o", et_path]) == 0
+        gen = str(tmp_path / "gen.py")
+        assert main(["codegen", et_path, "-o", gen]) == 0
+        assert "REG[" in open(gen).read()
