@@ -1,0 +1,106 @@
+"""Worker for the multi-process (multi-host-model) validation test.
+
+Spawned by tests/test_multiprocess.py: N processes × 2 simulated CPU devices
+each, connected via jax.distributed — the same code path a real multi-host
+TPU pod uses (the reference validates this only manually under mpirun;
+SURVEY.md §4).
+"""
+
+import os
+import sys
+
+
+def main() -> int:
+    proc_id = int(sys.argv[1])
+    nprocs = int(sys.argv[2])
+    port = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nprocs,
+        process_id=proc_id,
+    )
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from param_tpu.backend import CollectiveArgs, TpuBackend
+
+    b = TpuBackend()
+    b.initialize()
+    world = b.get_world_size()
+    assert world == 2 * nprocs, world
+    g = b.get_default_group()
+    sh = NamedSharding(g.mesh, P("rank"))
+
+    # ---- cross-process all_reduce (rank pattern: process p contributes p+1)
+    x = jax.make_array_from_process_local_data(
+        sh, np.full((2,), float(proc_id + 1), dtype=np.float32), (world,)
+    )
+    out = b.all_reduce(CollectiveArgs(in_tensor=x))
+    b.complete_ops()
+    # two devices per process each contribute (p+1)
+    expect = sum((p + 1) for p in range(nprocs) for _ in range(2))
+    for s in out.addressable_shards:
+        assert np.allclose(np.asarray(s.data), expect), (
+            proc_id, np.asarray(s.data), expect)
+
+    # ---- cross-process all_to_all
+    # every device sends chunk j (value j) to device j; after the tiled
+    # a2a device d holds [d, d, ...] — one element from every sender
+    x2 = jax.make_array_from_process_local_data(
+        sh, np.tile(np.arange(world, dtype=np.float32), 2), (world * world,)
+    )
+    out2 = b.all_to_all(CollectiveArgs(in_tensor=x2))
+    b.complete_ops()
+    # each local device d holds, after a2a, the d-th chunk from every sender:
+    for s in out2.addressable_shards:
+        dev_rank = g.devices.index(s.device)
+        assert np.allclose(np.asarray(s.data), float(dev_rank)), (
+            proc_id, dev_rank, np.asarray(s.data))
+
+    # ---- sharded DLRM loss across processes
+    import optax
+
+    from param_tpu.models.dlrm import DlrmConfig, DlrmModel, init_dlrm_params
+
+    cfg = DlrmConfig(
+        num_tables=world, rows_per_table=64, emb_dim=8, nnz=2,
+        dense_dim=8, bot_mlp=[16, 8], top_mlp=[16, 1], batch=world * 4,
+    )
+    from jax.sharding import Mesh
+
+    dlrm_mesh = Mesh(np.array(jax.devices()), ("x",))
+    model = DlrmModel(cfg, dlrm_mesh)
+    # deterministic params on every process (same key)
+    params = init_dlrm_params(jax.random.PRNGKey(0), cfg)
+    param_sh, data_sh = model.shardings()
+    params = jax.tree.map(
+        lambda a, s: jax.make_array_from_callback(
+            a.shape, s, lambda idx, _a=a: np.asarray(_a)[idx]
+        ),
+        params,
+        param_sh,
+    )
+    rng = np.random.default_rng(0)
+    dense = rng.normal(size=(cfg.batch, cfg.dense_dim)).astype(np.float32)
+    idx = rng.integers(0, 64, size=(cfg.batch, world, 2)).astype(np.int32)
+    labels = rng.integers(0, 2, size=(cfg.batch,)).astype(np.float32)
+    d_sh, i_sh, l_sh = data_sh
+    mk = lambda arr, s: jax.make_array_from_callback(  # noqa: E731
+        arr.shape, s, lambda ix, _a=arr: _a[ix]
+    )
+    loss = model.make_sharded_loss()(
+        params, mk(dense, d_sh), mk(idx, i_sh), mk(labels, l_sh)
+    )
+    lval = float(loss)
+    assert np.isfinite(lval)
+    print(f"RESULT proc={proc_id} world={world} dlrm_loss={lval:.6f}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

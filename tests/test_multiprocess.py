@@ -1,0 +1,63 @@
+"""Multi-process (multi-host-model) validation.
+
+Spawns N real processes connected via jax.distributed (2 simulated CPU
+devices each) and runs cross-process collectives + a sharded DLRM loss
+through the backend — the code path a real TPU pod uses.  The reference
+only exercises this manually under mpirun (SURVEY.md §4).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_workers(nprocs: int, timeout: int = 240):
+    port = _free_port()
+    env = dict(os.environ)
+    # repo only — the axon sitecustomize on the inherited PYTHONPATH would
+    # lock the platform before the worker's env vars apply
+    env["PYTHONPATH"] = os.getcwd()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "tests/multiprocess_worker.py",
+             str(i), str(nprocs), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(nprocs)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out))
+    return outs
+
+
+class TestMultiProcess:
+    def test_two_process_world(self):
+        outs = _run_workers(2)
+        losses = set()
+        for rc, out in outs:
+            assert rc == 0, out[-1500:]
+            line = [l for l in out.splitlines() if l.startswith("RESULT")]
+            assert line, out[-800:]
+            assert "world=4" in line[0]
+            losses.add(line[0].split("dlrm_loss=")[1])
+        # every process computes the same global loss
+        assert len(losses) == 1
