@@ -124,3 +124,48 @@ ENTRY main {
         out = summarize_dump_dir(str(tmp_path))
         assert out["num_modules"] == 1
         assert out["total_collectives"] == 1
+
+
+class TestDeviceTrace:
+    @pytest.fixture(scope="class")
+    def trace_dir(self, tmp_path_factory):
+        import jax
+        import jax.numpy as jnp
+
+        d = str(tmp_path_factory.mktemp("prof"))
+        jax.profiler.start_trace(d)
+        with jax.profiler.TraceAnnotation("bench_region"):
+            jax.block_until_ready(
+                jnp.ones((256, 256)) @ jnp.ones((256, 256))
+            )
+        jax.profiler.stop_trace()
+        return d
+
+    def test_load_and_aggregate(self, trace_dir):
+        from param_tpu.trace.device_trace import (
+            load_chrome_trace,
+            op_durations,
+            region_durations,
+        )
+
+        events, threads = load_chrome_trace(trace_dir)
+        assert events and threads
+        agg = op_durations(events, threads)
+        assert agg  # non-python ops present
+        regs = region_durations(events, ["bench_region"])
+        assert regs["bench_region"]["count"] == 1
+        assert regs["bench_region"]["total_us"] > 0
+
+    def test_collective_busbw_math(self):
+        from param_tpu.trace.device_trace import collective_bus_bw
+
+        durs = {"all-reduce": {"count": 2, "total_us": 200.0}}
+        bw = collective_bus_bw(durs, size_bytes=10**6, world=8)
+        # 1MB in 100us = 10 GB/s algBW * 2*7/8
+        assert bw["all-reduce"] == pytest.approx(10.0 * 2 * 7 / 8)
+
+    def test_missing_dir(self, tmp_path):
+        from param_tpu.trace.device_trace import find_trace_file
+
+        with pytest.raises(FileNotFoundError):
+            find_trace_file(str(tmp_path))
