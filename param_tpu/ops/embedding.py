@@ -91,6 +91,17 @@ def pad_table_dim(table, multiple: int = 64):
     return jnp.pad(table, pad_width)
 
 
+# Measured scatter behavior on v5e (164k row-updates, 64-dim rows):
+#   operand <= ~67 MB:  ~100M rows/s
+#   operand >= ~134 MB:  ~5M rows/s  (XLA big-operand scatter path)
+# Sorting the indices, indices_are_sorted, splitting into chunked
+# slice/scatter/update-slice passes, and fusing the optimizer into the
+# scatter were all measured SLOWER — this is a compiler floor, not an
+# algorithmic one.  Keep per-table scatters (tables usually < 67 MB per
+# shard under table-wise sharding) and let AD produce them unrolled
+# (see models.dlrm._lookup_local_tables).
+
+
 @jax.jit
 def embedding_bag(table, dense_indices, weights=None):
     """XLA path: gather + sum over the nnz axis.

@@ -283,3 +283,40 @@ class TestRaggedDistOracle:
         ):
             np.testing.assert_array_equal(lt_g[j], exp_lt)
             np.testing.assert_array_equal(it_g[j], exp_it)
+
+
+class TestSparseSgdStep:
+    def test_matches_dense_sgd(self, mesh):
+        """One sparse-SGD step must produce the SAME params as a dense SGD
+        step (sparse scatter updates are exact for sum-pooling)."""
+        cfg = tiny_cfg()
+        model = DlrmModel(cfg, mesh)
+        params = init_dlrm_params(jax.random.PRNGKey(0), cfg)
+        ds = RandomDataset(batch=cfg.batch, dense_dim=cfg.dense_dim,
+                           num_tables=cfg.num_tables, nnz=cfg.nnz,
+                           num_rows=cfg.rows_per_table, num_batches=1)
+        batch = next(iter(ds))
+        lr = 0.05
+
+        p_dense, b = model.place(params, batch)
+        opt = optax.sgd(lr)
+        st = opt.init(p_dense)
+        dense_step = model.make_train_step(opt)
+        p_after_dense, _, loss_dense = dense_step(p_dense, st, *b)
+
+        p_sparse, b2 = model.place(params, batch)
+        sparse_step = model.make_sparse_sgd_step(lr)
+        p_after_sparse, loss_sparse = sparse_step(p_sparse, *b2)
+
+        np.testing.assert_allclose(float(loss_dense), float(loss_sparse),
+                                   rtol=1e-6)
+        for key in ("tables",):
+            np.testing.assert_allclose(
+                np.asarray(p_after_sparse[key]), np.asarray(p_after_dense[key]),
+                rtol=1e-5, atol=1e-6,
+            )
+        for key in ("bot", "top"):
+            for (w1, b1), (w2, b2_) in zip(p_after_dense[key],
+                                           p_after_sparse[key]):
+                np.testing.assert_allclose(np.asarray(w2), np.asarray(w1),
+                                           rtol=1e-5, atol=1e-6)
