@@ -52,7 +52,7 @@ def main() -> int:
     best = None
     for name, chain in candidates.items():
         try:
-            per = measure_chain(chain, n_lo=1, n_hi=n_hi, reps=2)
+            per = measure_chain(chain, n_lo=1, n_hi=n_hi, reps=3)
         except Exception as e:  # noqa: BLE001
             print(f"# {name} path failed: {str(e)[:200]}", file=sys.stderr)
             continue
