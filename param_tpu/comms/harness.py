@@ -134,28 +134,21 @@ class CommsBench:
         n = group.size
         elems = max(1, size_bytes // self.elem_size)
         if collective in _GATHERING:
+            # per-rank input is size/world; the gathered output is size
             local = max(1, elems // n)
+        elif collective in ("all_to_all", "all_to_allv", "all_to_all_single",
+                            "reduce_scatter", "reduce_scatter_base", "scatter"):
+            # input must split into world_size chunks
+            local = max(n, (elems // n) * n)
         else:
-            local = max(n, elems) if collective in ("all_to_all", "all_to_allv",
-                                                    "all_to_all_single",
-                                                    "reduce_scatter",
-                                                    "reduce_scatter_base",
-                                                    "scatter") else elems
-            if collective in ("all_to_all", "all_to_allv", "all_to_all_single",
-                              "reduce_scatter", "reduce_scatter_base", "scatter"):
-                local = (local // n) * n or n
-        np_dtype = np.dtype(self.dtype) if self.dtype != np.dtype("bfloat16") else None
+            local = elems
 
-        def mk(r):
-            return np.full((local,), r + 1, dtype=np.float32)
-
+        # numpy knows bfloat16/fp8 via ml_dtypes (registered by jax)
+        np_dtype = np.dtype(self.dtype)
         x = self.backend.alloc_per_rank(
-            lambda r: mk(r).astype(np_dtype or np.float32), group
+            lambda r: np.full((local,), r + 1, dtype=np.float32).astype(np_dtype),
+            group,
         )
-        if np_dtype is None:
-            import jax.numpy as jnp
-
-            x = x.astype(self.dtype)
         if p.bitwidth != 32 and collective not in ("all_reduce", "reduce"):
             # non-reducing quantized collectives move the cast payload
             # directly (the reduce path casts inside the program —

@@ -137,3 +137,14 @@ class TestTiming:
         x = jnp.ones((128,))
         per = measure_dispatch(lambda: f(x), iters=5)
         assert per > 0
+
+
+class TestDtypeSweeps:
+    @pytest.mark.parametrize("dtype", ["bfloat16", "float16", "int32"])
+    def test_non_f32_sweep(self, backend, dtype):
+        b = make_bench(backend, dtype=dtype)
+        b.params.dcheck = dtype != "int32"  # int tensors still validate sums
+        res = b.run_one("all_reduce", 512, backend.get_default_group())
+        assert res.pct(50) > 0
+        if b.params.dcheck:
+            assert res.dcheck_ok
