@@ -48,6 +48,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="quantized comm bitwidth (16/8)")
     ap.add_argument("--multi-comms", type=int, default=1,
                     help="round-robin ranks into N groups")
+    ap.add_argument("--in-split", default=None,
+                    help="comma per-rank element counts for all_to_allv")
+    ap.add_argument("--out-split", default=None,
+                    help="comma per-rank element counts for all_to_allv")
+    ap.add_argument("--tag", default="", help="tag attached to metric records")
+    ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="multi-host: jax.distributed coordinator address "
+                         "(reference --master-ip/--master-port)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--backend", default="tpu", help="registered backend name")
     ap.add_argument("--num-devices", type=int, default=0,
                     help="limit device count (0 = all)")
@@ -88,7 +98,11 @@ def main(argv=None) -> int:
     if ns.z is not None and ns.z == 1:
         ns.mode = "blocking"
 
-    backend = get_backend_cls(ns.backend)()
+    backend = get_backend_cls(ns.backend)(
+        coordinator_address=ns.coordinator,
+        num_processes=ns.num_processes,
+        process_id=ns.process_id,
+    ) if ns.backend in ("tpu", "xla") else get_backend_cls(ns.backend)()
     backend.initialize()
     if ns.num_devices:
         import jax

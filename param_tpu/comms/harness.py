@@ -59,6 +59,8 @@ class CommsParams:
     in_split: Optional[List[int]] = None
     out_split: Optional[List[int]] = None
     size_list: Optional[List[int]] = None  # explicit --ss sizes
+    tag: str = ""
+
 
     @classmethod
     def from_args(cls, ns) -> "CommsParams":
@@ -87,6 +89,11 @@ class CommsParams:
             p.dst_ranks = [int(r) for r in ns.dst_ranks.split(",")]
         if ns.ss:
             p.size_list = [parse_size(s) for s in ns.ss.split(",")]
+        if getattr(ns, "in_split", None):
+            p.in_split = [int(x) for x in ns.in_split.split(",")]
+        if getattr(ns, "out_split", None):
+            p.out_split = [int(x) for x in ns.out_split.split(",")]
+        p.tag = getattr(ns, "tag", "")
         return p
 
 
