@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--config", default=None, help="skip-node replay config JSON")
     r.add_argument("--inputs", default=None,
                    help=".npz with tensor-id -> array input overrides")
+    r.add_argument("--per-op", action="store_true",
+                   help="record blocking per-op latencies on the last "
+                        "iteration")
     r.add_argument("--update-config", default=None,
                    help="write the auto-updated skip config here")
 
@@ -141,7 +144,7 @@ def main(argv=None) -> int:
         config=config,
         inputs_file=ns.inputs,
     )
-    out = mgr.replay(iters=ns.iters, warmup=ns.warmup)
+    out = mgr.replay(iters=ns.iters, warmup=ns.warmup, per_op=ns.per_op)
     print(json.dumps(out, indent=2))
     if ns.update_config:
         mgr.config.save(ns.update_config)

@@ -55,6 +55,8 @@ register_operators(
         "jnp.relu": CallableOp(jax.nn.relu),
         "jnp.gelu": CallableOp(jax.nn.gelu),
         "jnp.softmax": CallableOp(lambda x: jax.nn.softmax(x, axis=-1)),
+        # fused scaled-dot-product attention (q, k, v: (B, S, H, D))
+        "nn.sdpa": CallableOp(jax.nn.dot_product_attention),
         "jnp.reshape": CallableOp(lambda x, shape: jnp.reshape(x, shape)),
         "nn.Linear": BuildableOp(_linear_ctor),
         "nn.Conv2d": BuildableOp(_conv2d_ctor),

@@ -256,17 +256,37 @@ class EtReplayManager:
         for tid in dead:
             del self.registry[tid]
 
-    def replay(self, iters: int = 1, warmup: int = 0) -> Dict[str, Any]:
-        """(reference: benchTime:1384 / run_iter:1455)"""
+    def replay(
+        self, iters: int = 1, warmup: int = 0, per_op: bool = False
+    ) -> Dict[str, Any]:
+        """(reference: benchTime:1384 / run_iter:1455)
+
+        ``per_op``: additionally record blocking per-op wall latencies on
+        the last iteration (the reference's per-op timing; dispatch
+        overhead included — use for relative comparisons)."""
         self.preprocess()
         times = []
+        op_times: Dict[str, Dict] = {}
         for it in range(warmup + iters):
             self.registry.clear()
             self.skipped.clear()
             self.allocate_inputs()
+            record_ops = per_op and it == warmup + iters - 1
             t0 = time.perf_counter()
             for pos, node in enumerate(self._nodes):
+                if record_ops:
+                    o0 = time.perf_counter()
                 self.run_op(pos, node)
+                if record_ops:
+                    for tid in node.outputs:
+                        if tid is not None and tid in self.registry:
+                            jax.block_until_ready(self.registry[tid])
+                    lat = (time.perf_counter() - o0) * 1e6
+                    d = op_times.setdefault(
+                        node.name, {"count": 0, "total_us": 0.0}
+                    )
+                    d["count"] += 1
+                    d["total_us"] += lat
                 self._free_dead(pos)
             jax.block_until_ready(
                 [v for v in self.registry.values()][-8:]
@@ -275,7 +295,7 @@ class EtReplayManager:
             if it >= warmup:
                 times.append(dt)
         total = sum(times) / max(1, len(times))
-        return {
+        out = {
             "mode": self.mode.value,
             "num_ops": len(self._nodes),
             "num_skipped": len(set(self.skipped)),
@@ -283,6 +303,11 @@ class EtReplayManager:
             "iter_s": total,
             "qps": len(self._nodes) / total if total else 0.0,
         }
+        if op_times:
+            out["per_op_us"] = dict(
+                sorted(op_times.items(), key=lambda kv: -kv[1]["total_us"])
+            )
+        return out
 
 
 # --------------------------------------------------------------- codegen
