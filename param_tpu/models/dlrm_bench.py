@@ -26,7 +26,7 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from param_tpu.comms.timing import measure_chain
-from param_tpu.models.dlrm import AXIS, DlrmModel, _forward_local, \
+from param_tpu.models.dlrm import DlrmModel, _forward_local, \
     _lookup_local_tables, init_dlrm_params
 from param_tpu.models.dlrm_data import RandomDataset
 from param_tpu.utils.dtypes import dtype_size
@@ -58,6 +58,7 @@ class DlrmCommBench:
         scan."""
         model, cfg = self.model, self.model.cfg
         mesh = model.mesh
+        AXIS = model.axis
         dense, idx, labels = batch
         param_spec = model._param_spec()
 

@@ -71,10 +71,8 @@ def main() -> int:
         num_tables=world, rows_per_table=64, emb_dim=8, nnz=2,
         dense_dim=8, bot_mlp=[16, 8], top_mlp=[16, 1], batch=world * 4,
     )
-    from jax.sharding import Mesh
-
-    dlrm_mesh = Mesh(np.array(jax.devices()), ("x",))
-    model = DlrmModel(cfg, dlrm_mesh)
+    # the model adopts the backend mesh's axis name directly
+    model = DlrmModel(cfg, g.mesh)
     # deterministic params on every process (same key)
     params = init_dlrm_params(jax.random.PRNGKey(0), cfg)
     param_sh, data_sh = model.shardings()
