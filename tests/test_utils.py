@@ -114,3 +114,40 @@ class TestPercentile:
 
     def test_empty(self):
         assert math.isnan(percentile([], 50))
+
+
+class TestTimers:
+    def test_param_timer_accumulates(self):
+        from param_tpu.utils.timer import ParamTimer, param_profile
+
+        t = ParamTimer()
+        with param_profile(t, "region"):
+            pass
+        assert t.elapsed_ns > 0
+        assert t.get_us() == t.elapsed_ns / 1e3
+        t.reset()
+        assert t.elapsed_ns == 0
+
+    def test_region_timers(self):
+        from param_tpu.utils.timer import RegionTimers
+
+        r = RegionTimers()
+        r.get("fwd").inc_ns(1000)
+        r.get("fwd").inc_ns(500)
+        r.get("bwd").inc_ns(2000)
+        snap = r.snapshot_us()
+        assert snap["fwd"] == 1.5
+        assert snap["bwd"] == 2.0
+        r.reset_all()
+        assert r.snapshot_us()["fwd"] == 0.0
+
+
+class TestRankLogging:
+    def test_setup_and_graceful_exit(self):
+        from param_tpu.utils.logger import graceful_exit, setup_rank_logging
+
+        setup_rank_logging(rank=3, level="WARNING")
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit):
+            graceful_exit("bye", code=2)
