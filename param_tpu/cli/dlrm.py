@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--data", default="synthetic", choices=["synthetic", "random"])
     ap.add_argument("--data-distribution", default="uniform",
                     choices=["uniform", "zipf"])
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a device trace during the bench and print "
+                         "the per-op device-time histogram")
     ap.add_argument("--log", default="INFO")
     return ap
 
@@ -82,8 +85,23 @@ def main(argv=None) -> int:
     if ns.train_batches:
         return train_e2e(model, cfg, ns)
 
-    results = bench.run(reps=ns.reps, n_hi=ns.chain)
+    from param_tpu.utils.profiler import profile_to
+
+    with profile_to(ns.profile):
+        results = bench.run(reps=ns.reps, n_hi=ns.chain)
     bench.report(results)
+    if ns.profile:
+        from param_tpu.trace.device_trace import (
+            load_chrome_trace,
+            op_durations,
+            print_top_ops,
+        )
+
+        events, threads = load_chrome_trace(ns.profile)
+        agg = op_durations(events, threads, thread_filter="TPU") or \
+            op_durations(events, threads)
+        print("\ndevice-op histogram:")
+        print_top_ops(agg, top=15)
     return 0
 
 

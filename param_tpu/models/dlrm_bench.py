@@ -32,12 +32,23 @@ from param_tpu.models.dlrm_data import RandomDataset
 from param_tpu.utils.dtypes import dtype_size
 from param_tpu.utils.sizes import percentile
 
+# Region set mapped onto the reference's 21 named timer regions
+# (initTimers, dlrm.py:961-1009).  Regions marked (iso) are isolated-op
+# chain measurements of the op a fused backward would contain — XLA fuses
+# the real backward, so the true in-context time is only bounded by these.
 REGIONS = [
-    "idx_a2a",      # ≈ reference offset_xchg + idx_xchg (SparseDataDist)
+    "offset_xchg",  # lengths all-to-all (ragged pipeline stage 1)
+    "idx_a2a",      # index redistribution (≈ idx_xchg)
     "emb_lookup",   # apply_emb
     "fwd_a2a",      # pooled-embedding forward all-to-all
-    "dense_fwd",    # bot MLP + interaction + top MLP
+    "bot_mlp_fwd",  # bottom MLP forward
+    "interaction",  # dot-feature interaction
+    "top_mlp_fwd",  # top MLP forward
+    "dense_fwd",    # bot MLP + interaction + top MLP combined
     "fwd_total",    # full forward (loss)
+    "bwd_a2a(iso)",     # transposed pooled a2a (comm 5)
+    "bwd_top_ar(iso)",  # top-MLP grad all-reduce (comm 4)
+    "bwd_bot_ar(iso)",  # bot-MLP grad all-reduce (comm 6)
     "step_total",   # forward + backward + optimizer
 ]
 
@@ -134,7 +145,113 @@ class DlrmCommBench:
             s, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(n))
             return s
 
+        def lengths_a2a_body(lengths, n):
+            def step(s, i):
+                shifted = lengths + (i % 2).astype(lengths.dtype)
+                out = lax.all_to_all(shifted, AXIS, 1, 0, tiled=True)
+                return s + jnp.sum(out[0].astype(jnp.float32)), None
+
+            s, _ = lax.scan(step, jnp.float32(0), jnp.arange(n))
+            return lax.psum(s, AXIS)
+
+        def bot_mlp_body(params, dense, n):
+            from param_tpu.ops.mlp import mlp_forward
+
+            def step(s, i):
+                d = dense + i.astype(dense.dtype) * 1e-6
+                out = mlp_forward(params["bot"], d)
+                return s + jnp.sum(out.astype(jnp.float32)), None
+
+            s, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(n))
+            return lax.psum(s, AXIS)
+
+        def top_mlp_body(params, dense, n):
+            from param_tpu.ops.mlp import mlp_forward
+
+            b = dense.shape[0]
+            feat = jnp.zeros((b, cfg.interaction_dim), cfg.dtype)
+
+            def step(s, i):
+                f = feat + i.astype(feat.dtype) * 1e-6
+                out = mlp_forward(params["top"], f)
+                return s + jnp.sum(out.astype(jnp.float32)), None
+
+            s, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(n))
+            return lax.psum(s, AXIS)
+
+        def interaction_body(params, dense, n):
+            from param_tpu.models.dlrm import dot_interaction
+            from param_tpu.ops.mlp import mlp_forward
+
+            b = dense.shape[0]
+            pooled = jnp.ones((b, cfg.num_tables, cfg.emb_dim), cfg.dtype)
+            bot_out = mlp_forward(params["bot"], dense)
+
+            def step(s, i):
+                p = pooled + i.astype(pooled.dtype) * 1e-6
+                feat = dot_interaction(bot_out, p)
+                return s + jnp.sum(feat.astype(jnp.float32)), None
+
+            s, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(n))
+            return lax.psum(s, AXIS)
+
+        def bwd_a2a_body(tables, idx, n):
+            # isolated transposed pooled a2a: same payload as comm 5
+            b = idx.shape[0]
+            g = jnp.ones((b, cfg.num_tables, cfg.emb_dim), cfg.dtype)
+
+            def step(s, i):
+                gg = g + i.astype(g.dtype) * 1e-6
+                out = lax.all_to_all(gg, AXIS, 1, 0, tiled=True)
+                return s + jnp.sum(out.astype(jnp.float32)), None
+
+            s, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(n))
+            return lax.psum(s, AXIS)
+
+        def make_ar_body(which):
+            def ar_body(params, dense, n):
+                leaves = jax.tree.leaves(params[which])
+
+                def step(s, i):
+                    tot = jnp.float32(0)
+                    for l in leaves:
+                        g = l + i.astype(l.dtype) * 1e-6
+                        tot = tot + jnp.sum(lax.pmean(g, AXIS).astype(jnp.float32))
+                    return s + tot, None
+
+                s, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(n))
+                return lax.psum(s, AXIS)
+
+            return ar_body
+
         chains = {
+            # lengths-shaped payload: one int32 per (sample, table)
+            "offset_xchg": (
+                smap(lengths_a2a_body, (P(AXIS, None),)),
+                (idx[:, :, 0].astype(jnp.int32),),
+            ),
+            "bot_mlp_fwd": (
+                smap(bot_mlp_body, (param_spec, P(AXIS, None))), (params, dense),
+            ),
+            "top_mlp_fwd": (
+                smap(top_mlp_body, (param_spec, P(AXIS, None))), (params, dense),
+            ),
+            "interaction": (
+                smap(interaction_body, (param_spec, P(AXIS, None))),
+                (params, dense),
+            ),
+            "bwd_a2a(iso)": (
+                smap(bwd_a2a_body, (param_spec["tables"], P(AXIS, None, None))),
+                (params["tables"], idx),
+            ),
+            "bwd_top_ar(iso)": (
+                smap(make_ar_body("top"), (param_spec, P(AXIS, None))),
+                (params, dense),
+            ),
+            "bwd_bot_ar(iso)": (
+                smap(make_ar_body("bot"), (param_spec, P(AXIS, None))),
+                (params, dense),
+            ),
             "idx_a2a": (smap(idx_a2a_body, (P(AXIS, None, None),)), (idx,)),
             "emb_lookup": (
                 smap(emb_body, (param_spec["tables"], P(AXIS, None, None))),
