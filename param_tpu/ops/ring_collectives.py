@@ -176,3 +176,83 @@ def ring_all_reduce(x, axis: str, collective_id: int = 8):
     gathered = ring_all_gather(my_sum, axis, collective_id=collective_id + 1)
     rolled = jnp.roll(gathered, shift=1, axis=0)
     return rolled.reshape(x.shape)
+
+
+def _bidir_all_gather_kernel(
+    x_ref, o_ref, cw_buf, ccw_buf, cw_send, cw_recv, ccw_send, ccw_recv,
+    *, axis: str, n: int, barrier: bool = True,
+):
+    """Bidirectional ring all-gather: chunks from left neighbors travel
+    clockwise, chunks from right neighbors counter-clockwise — both ICI
+    directions carry traffic and the hop count halves (guide pattern:
+    bi-directional ring)."""
+    my_id = lax.axis_index(axis)
+    right = lax.rem(my_id + 1, n)
+    left = lax.rem(my_id + n - 1, n)
+    if barrier:
+        _neighbor_barrier(my_id, n)
+
+    o_ref[my_id] = x_ref[...]
+    cw_buf[0] = x_ref[...]
+    ccw_buf[0] = x_ref[...]
+
+    cw_hops = (n - 1 + 1) // 2  # chunks my-1 .. my-cw_hops
+    ccw_hops = (n - 1) // 2  # chunks my+1 .. my+ccw_hops
+    for i in range(max(cw_hops, ccw_hops)):
+        send_slot = i % 2
+        recv_slot = (i + 1) % 2
+        do_cw = i < cw_hops
+        do_ccw = i < ccw_hops
+        if do_cw:
+            rdma_cw = pltpu.make_async_remote_copy(
+                src_ref=cw_buf.at[send_slot],
+                dst_ref=cw_buf.at[recv_slot],
+                send_sem=cw_send.at[send_slot],
+                recv_sem=cw_recv.at[recv_slot],
+                device_id=right,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            rdma_cw.start()
+        if do_ccw:
+            rdma_ccw = pltpu.make_async_remote_copy(
+                src_ref=ccw_buf.at[send_slot],
+                dst_ref=ccw_buf.at[recv_slot],
+                send_sem=ccw_send.at[send_slot],
+                recv_sem=ccw_recv.at[recv_slot],
+                device_id=left,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            rdma_ccw.start()
+        if do_cw:
+            rdma_cw.wait()
+            src = lax.rem(my_id - i - 1 + 2 * n, n)
+            o_ref[src] = cw_buf[recv_slot]
+        if do_ccw:
+            rdma_ccw.wait()
+            src = lax.rem(my_id + i + 1, n)
+            o_ref[src] = ccw_buf[recv_slot]
+
+
+def ring_all_gather_bidir(x, axis: str, collective_id: int = 9):
+    """Bidirectional ring all-gather: (local,) → (n, local)."""
+    n = lax.axis_size(axis)
+    return pl.pallas_call(
+        functools.partial(
+            _bidir_all_gather_kernel, axis=axis, n=n, barrier=not _interpret()
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, *x.shape), x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, *x.shape), x.dtype),
+            pltpu.VMEM((2, *x.shape), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=collective_id
+        ),
+        interpret=_interpret(),
+    )(x)

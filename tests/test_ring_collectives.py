@@ -56,3 +56,22 @@ class TestRingAllReduce:
         expect = np.asarray(x).reshape(4, 16).sum(axis=0)
         for d in range(4):
             np.testing.assert_allclose(got[d], expect, rtol=1e-5)
+
+
+class TestBidirRingAllGather:
+    @pytest.mark.parametrize("n", [4, 8])
+    def test_matches_lax(self, n):
+        from param_tpu.ops.ring_collectives import ring_all_gather_bidir
+
+        mesh = Mesh(np.array(jax.devices()[:n]), ("x",))
+
+        def ag(x):
+            return ring_all_gather_bidir(x, "x").reshape(-1)
+
+        f = jax.jit(jax.shard_map(ag, mesh=mesh, in_specs=P("x"),
+                                  out_specs=P("x"), check_vma=False))
+        x = jnp.arange(n * 8, dtype=jnp.float32)
+        got = np.asarray(f(x)).reshape(n, n * 8)
+        for d in range(n):
+            np.testing.assert_allclose(got[d], np.arange(n * 8,
+                                                         dtype=np.float32))
