@@ -86,26 +86,29 @@ def bench_gemm(
         b = (jnp.asarray(rng.random((k, n), dtype=np.float32)) * 0.01).astype(dt)
 
         if use_pallas:
-            def op(x):
-                return matmul_pallas(x, b)
+            def op(x, w):
+                return matmul_pallas(x, w)
         else:
-            def op(x):
-                return jnp.dot(x, b, preferred_element_type=jnp.float32,
+            def op(x, w):
+                return jnp.dot(x, w, preferred_element_type=jnp.float32,
                                precision=prec)
 
+        # b must be an ARGUMENT: a closed-over device array becomes an
+        # embedded constant in the compiled program (a 670 MB compile
+        # payload for gemm_B's 40928-dim shapes)
         @functools.partial(jax.jit, static_argnames="nn")
-        def chain(a, nn):
+        def chain(a, b, nn):
             def step(s, i):
                 # per-step input perturbation defeats loop hoisting/CSE
-                out = op(a + i.astype(a.dtype) * jnp.asarray(1e-6, a.dtype))
+                out = op(a + i.astype(a.dtype) * jnp.asarray(1e-6, a.dtype), b)
                 return s + jnp.sum(out.astype(jnp.float32)), None
 
             s, _ = lax.scan(step, jnp.float32(0), jnp.arange(nn))
             return s
 
         try:
-            per = measure_chain(lambda nn: chain(a, nn=nn), n_lo=1, n_hi=n_hi,
-                                reps=reps)
+            per = measure_chain(lambda nn: chain(a, b, nn=nn), n_lo=1,
+                                n_hi=n_hi, reps=reps)
         except Exception:
             log.exception("gemm %s failed", (m, n, k))
             continue
