@@ -320,3 +320,52 @@ class TestSparseSgdStep:
                                            p_after_sparse[key]):
                 np.testing.assert_allclose(np.asarray(w2), np.asarray(w1),
                                            rtol=1e-5, atol=1e-6)
+
+
+class TestRaggedEdgeCases:
+    def test_all_zero_lengths(self, mesh):
+        """Zero-length bags everywhere: every output row is the pad row."""
+        from jax.sharding import PartitionSpec as P
+
+        from param_tpu.models.ragged import ragged_sparse_dist
+
+        n, b, T, K, E = 8, 2, 8, 3, 50
+        lengths = np.zeros((n * b, T), np.int32)
+        idx = np.zeros((n * b, T, K), np.int32)
+        f = jax.jit(
+            jax.shard_map(
+                lambda l, i: ragged_sparse_dist(l, i, "x", pad_row=E),
+                mesh=mesh,
+                in_specs=(P("x", None), P("x", None, None)),
+                out_specs=(P("x", None), P("x", None, None)),
+                check_vma=False,
+            )
+        )
+        lt, it = f(jnp.asarray(lengths), jnp.asarray(idx))
+        assert int(np.asarray(lt).sum()) == 0
+        np.testing.assert_array_equal(np.asarray(it), E)
+
+    def test_full_lengths(self, mesh):
+        from jax.sharding import PartitionSpec as P
+
+        from param_tpu.models.ragged import ragged_reference, ragged_sparse_dist
+
+        n, b, T, K, E = 8, 2, 8, 3, 50
+        rng = np.random.default_rng(1)
+        lengths = np.full((n * b, T), K, np.int32)
+        idx = rng.integers(0, E, size=(n * b, T, K)).astype(np.int32)
+        f = jax.jit(
+            jax.shard_map(
+                lambda l, i: ragged_sparse_dist(l, i, "x", pad_row=E),
+                mesh=mesh,
+                in_specs=(P("x", None), P("x", None, None)),
+                out_specs=(P("x", None), P("x", None, None)),
+                check_vma=False,
+            )
+        )
+        lt, it = f(jnp.asarray(lengths), jnp.asarray(idx))
+        it_g = np.asarray(it).reshape(n, n * b, T // n, K)
+        for j, (exp_lt, exp_it) in enumerate(
+            ragged_reference(lengths, idx, n, pad_row=E)
+        ):
+            np.testing.assert_array_equal(it_g[j], exp_it)

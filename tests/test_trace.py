@@ -220,3 +220,30 @@ class TestHierarchicalGroups:
 
         with _pytest.raises(ValueError):
             backend.make_hierarchical_groups(hosts=3)
+
+
+class TestEdgeCases:
+    def test_empty_trace_replay(self, backend):
+        r = CommsReplay(backend, ReplayParams(do_warmup=False))
+        out = r.run([])
+        assert out["num_ops"] == 0
+
+    def test_wait_and_barrier_only(self, backend):
+        r = CommsReplay(backend, ReplayParams(do_warmup=False))
+        out = r.run([{"comms": "wait"}, {"comms": "barrier"}])
+        assert out["num_ops"] == 2
+        assert out["collectives"] == {}
+
+    def test_unknown_collective_skipped(self, backend):
+        trace = [{"comms": "quantum_teleport", "in_msg_size": 8,
+                  "out_msg_size": 8, "dtype": "float32"}]
+        r = CommsReplay(backend, ReplayParams(blocking=True, do_warmup=False))
+        out = r.run(trace)  # logged + skipped, no crash
+        assert out["num_ops"] == 1
+
+    def test_auto_shrink_noop_same_world(self, backend):
+        trace = [{"comms": "all_to_all", "in_msg_size": 64, "out_msg_size": 64,
+                  "dtype": "float32", "world_size": 8}]
+        r = CommsReplay(backend, ReplayParams(auto_shrink=True))
+        r.load(trace)
+        assert r.ops[0].in_msg_size == 64

@@ -151,3 +151,11 @@ class TestRankLogging:
 
         with _pytest.raises(SystemExit):
             graceful_exit("bye", code=2)
+
+
+class TestSweepEdges:
+    def test_begin_equals_end(self):
+        assert size_sweep(64, 64) == [64]
+
+    def test_huge_factor(self):
+        assert size_sweep(8, 1024, 1000) == [8, 1024]
