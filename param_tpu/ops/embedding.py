@@ -92,14 +92,55 @@ def pad_table_dim(table, multiple: int = 64):
 
 
 # Measured scatter behavior on v5e (164k row-updates, 64-dim rows):
-#   operand <= ~67 MB:  ~100M rows/s
-#   operand >= ~134 MB:  ~5M rows/s  (XLA big-operand scatter path)
-# Sorting the indices, indices_are_sorted, splitting into chunked
-# slice/scatter/update-slice passes, and fusing the optimizer into the
-# scatter were all measured SLOWER — this is a compiler floor, not an
-# algorithmic one.  Keep per-table scatters (tables usually < 67 MB per
-# shard under table-wise sharding) and let AD produce them unrolled
-# (see models.dlrm._lookup_local_tables).
+#   operand <= 262144 rows (~67 MB): ~100M rows/s, consistently
+#   larger operands: ERRATIC — 5M rows/s for most sizes (524288, 800k,
+#   983k, 1048576, 2M rows all ~33 ms) but 2.4 ms at exactly 1M rows;
+#   the compiler's strategy choice is not monotonic or predictable.
+# Sorting, indices_are_sorted, slice/update-slice chunk passes, and
+# fusing the update into the scatter were all slower.  The ONE uniformly
+# fast formulation for big tables: scatter into FRESH ZEROS per
+# <=262144-row chunk (masked updates) and concatenate — each chunk stays
+# on the fast path and no table-sized slice/copy is involved.
+_FAST_SCATTER_ROWS = 262_144
+
+
+def _chunked_zero_scatter(shape, dtype, flat_idx, updates):
+    """zeros(shape).at[flat_idx].add(updates) via always-fast chunks."""
+    E, D = shape
+    if E <= _FAST_SCATTER_ROWS:
+        return jnp.zeros(shape, dtype).at[flat_idx].add(updates.astype(dtype))
+    chunks = []
+    for lo in range(0, E, _FAST_SCATTER_ROWS):
+        size = min(_FAST_SCATTER_ROWS, E - lo)
+        local = flat_idx - lo
+        valid = (local >= 0) & (local < size)
+        upd = jnp.where(valid[:, None], updates, 0).astype(dtype)
+        local = jnp.clip(local, 0, size - 1)
+        chunks.append(jnp.zeros((size, D), dtype).at[local].add(upd))
+    return jnp.concatenate(chunks)
+
+
+@jax.custom_vjp
+def _embsum(table, dense_indices):
+    rows = jnp.take(table, dense_indices, axis=0)  # (B, nnz, D)
+    return jnp.sum(rows.astype(jnp.float32), axis=1).astype(table.dtype)
+
+
+def _embsum_fwd(table, dense_indices):
+    # table rides along only to carry its aval (no copy)
+    return _embsum(table, dense_indices), (table, dense_indices)
+
+
+def _embsum_bwd(res, g):
+    table, dense_indices = res
+    nnz = dense_indices.shape[1]
+    flat_idx = dense_indices.reshape(-1)
+    flat_g = jnp.repeat(g, nnz, axis=0)
+    dtable = _chunked_zero_scatter(table.shape, table.dtype, flat_idx, flat_g)
+    return dtable, None
+
+
+_embsum.defvjp(_embsum_fwd, _embsum_bwd)
 
 
 @jax.jit
@@ -108,10 +149,13 @@ def embedding_bag(table, dense_indices, weights=None):
 
     ``dense_indices``: (batch, nnz) int32, padded with a valid row id
     (use :func:`with_pad_row` + :func:`pad_ragged_indices` for ragged bags).
+    The backward scatter is chunked for big tables (custom_vjp) — see the
+    scatter notes above.
     """
+    if weights is None:
+        return _embsum(table, dense_indices)
     rows = jnp.take(table, dense_indices, axis=0)  # (B, nnz, D)
-    if weights is not None:
-        rows = rows * weights[..., None]
+    rows = rows * weights[..., None]
     return jnp.sum(rows.astype(jnp.float32), axis=1).astype(table.dtype)
 
 
@@ -230,8 +274,8 @@ def embedding_bag_pallas(table, dense_indices, tile_bags: int = 128):
 @jax.jit
 def embedding_bag_grad(table, dense_indices, grad_out):
     """Backward of sum-pooled lookup: scatter-add of grad rows
-    (dtable[idx] += grad_out[bag]).  XLA segment-sum formulation."""
+    (dtable[idx] += grad_out[bag]), chunked for big tables."""
     batch, nnz = dense_indices.shape
     flat_idx = dense_indices.reshape(-1)
     flat_grad = jnp.repeat(grad_out, nnz, axis=0)  # (B*nnz, D)
-    return jax.ops.segment_sum(flat_grad, flat_idx, num_segments=table.shape[0])
+    return _chunked_zero_scatter(table.shape, table.dtype, flat_idx, flat_grad)
