@@ -94,6 +94,8 @@ def matmul_pallas(
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # v5e exposes 128 MB of VMEM; the default scoped limit is 16 MB
+            vmem_limit_bytes=100 * 2**20,
         ),
         cost_estimate=pl.CostEstimate(
             flops=gemm_flops(m, n, k),
