@@ -169,3 +169,54 @@ class TestDeviceTrace:
 
         with pytest.raises(FileNotFoundError):
             find_trace_file(str(tmp_path))
+
+
+class TestAnalyzerMains:
+    def test_device_trace_main(self, tmp_path, capsys):
+        import gzip
+        import json
+
+        from param_tpu.trace.device_trace import main
+
+        d = tmp_path / "plugins" / "profile" / "run1"
+        d.mkdir(parents=True)
+        trace = {
+            "traceEvents": [
+                {"ph": "M", "pid": 1, "name": "process_name",
+                 "args": {"name": "/device:TPU:0"}},
+                {"ph": "M", "pid": 1, "tid": 2, "name": "thread_name",
+                 "args": {"name": "XLA Ops"}},
+                {"ph": "X", "pid": 1, "tid": 2, "name": "fusion.1",
+                 "ts": 0, "dur": 100.0},
+                {"ph": "X", "pid": 1, "tid": 2, "name": "all-reduce.3",
+                 "ts": 100, "dur": 50.0},
+            ]
+        }
+        with gzip.open(d / "x.trace.json.gz", "wt") as f:
+            json.dump(trace, f)
+        assert main([str(tmp_path)]) == 0
+        out = capsys.readouterr().out
+        assert "fusion.1" in out and "all-reduce" in out
+
+    def test_hlo_summary_main(self, tmp_path, capsys):
+        from param_tpu.trace.hlo_summary import main
+
+        (tmp_path / "m.after_optimizations.txt").write_text(
+            "%a = f32[4]{0} parameter(0)\n%d = f32[4]{0} dot(%a, %a)\n"
+        )
+        assert main([str(tmp_path)]) == 0
+        assert "modules: 1" in capsys.readouterr().out
+
+    def test_analyze_main_multi_rank(self, tmp_path, capsys):
+        import json
+
+        from param_tpu.cli.analyze import main
+
+        recs = [{"comms": "all_reduce", "size_bytes": 256, "lat_us": 10.0}]
+        paths = []
+        for r in range(2):
+            p = tmp_path / f"r{r}.json"
+            p.write_text(json.dumps(recs))
+            paths.append(str(p))
+        assert main(paths + ["--world-size", "4"]) == 0
+        assert "all_reduce" in capsys.readouterr().out
