@@ -313,3 +313,23 @@ class TestShardedScalingStructure:
         assert sizes[4][0] < sizes[2][0]
         assert sizes[8][0] < sizes[4][0]
         assert sizes[8][1] < sizes[2][1]
+
+
+class TestConvNetEt:
+    def test_alexnet_capture_replay(self):
+        """Conv/pool primitives (conv_general_dilated, reduce_window)
+        capture and replay cleanly."""
+        from param_tpu.microbench.operator import load_workloads, op_map
+
+        load_workloads()
+        op = op_map["AlexNet"]
+        op.build()
+        x = jnp.ones((1, 224, 224, 3))
+        op.forward(x)  # materialize params eagerly
+        et = capture_execution_trace(lambda x: op.forward(x), x)
+        assert TraceValidator(et).validate() == []
+        out = EtReplayManager(et).replay(iters=1)
+        assert out["num_skipped"] == 0
+        assert not out["errors"], out["errors"]
+        names = {n.name for n in et.get_nodes(clean=True)}
+        assert "conv_general_dilated" in names
