@@ -20,7 +20,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="param_tpu.run_benchmark",
         description="PARAM-TPU operator micro-benchmark",
     )
-    ap.add_argument("-c", "--config", required=True, help="benchmark config JSON")
+    ap.add_argument("-c", "--config", default=None, help="benchmark config JSON")
+    ap.add_argument("--list-ops", action="store_true",
+                    help="list registered operators and exit")
     ap.add_argument("-o", "--output", default=None, help="JSON-lines output path")
     ap.add_argument("-a", "--append", action="store_true",
                     help="append to output (reference --append)")
@@ -41,6 +43,15 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     ns = build_parser().parse_args(argv)
     logging.basicConfig(level=ns.log.upper())
+    if ns.list_ops:
+        from param_tpu.microbench.operator import load_workloads, op_map
+
+        load_workloads()
+        print("\n".join(sorted(op_map)))
+        return 0
+    if not ns.config:
+        print("error: -c/--config is required (or --list-ops)")
+        return 2
     if ns.xla_dump:
         import os
 
