@@ -111,7 +111,6 @@ def train_e2e(model, cfg, ns) -> int:
 
     import jax
     import numpy as np
-    import optax
 
     from param_tpu.models.dlrm import init_dlrm_params
     from param_tpu.models.dlrm_data import data_loader
