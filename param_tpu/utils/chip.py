@@ -19,14 +19,16 @@ class ChipSpec:
     hbm_gbs: float
     hbm_gb: float
     ici_gbs: float  # per-link bidirectional
+    vmem_mb: float = 128.0  # total VMEM (v5e measured: 128 MB; the
+    #                         per-kernel scoped default is 16 MB)
 
 
 CHIPS = {
-    "v4": ChipSpec("v4", 275.0, 137.0, 1228.0, 32.0, 100.0),
-    "v5e": ChipSpec("v5e", 197.0, 98.5, 819.0, 16.0, 100.0),
-    "v5p": ChipSpec("v5p", 459.0, 229.0, 2765.0, 95.0, 200.0),
-    "v6e": ChipSpec("v6e", 918.0, 459.0, 1640.0, 32.0, 200.0),
-    "cpu": ChipSpec("cpu", 1.0, 0.5, 50.0, 64.0, 10.0),
+    "v4": ChipSpec("v4", 275.0, 137.0, 1228.0, 32.0, 100.0, 128.0),
+    "v5e": ChipSpec("v5e", 197.0, 98.5, 819.0, 16.0, 100.0, 128.0),
+    "v5p": ChipSpec("v5p", 459.0, 229.0, 2765.0, 95.0, 200.0, 128.0),
+    "v6e": ChipSpec("v6e", 918.0, 459.0, 1640.0, 32.0, 200.0, 128.0),
+    "cpu": ChipSpec("cpu", 1.0, 0.5, 50.0, 64.0, 10.0, 0.0),
 }
 
 

@@ -75,3 +75,22 @@ class TestBidirRingAllGather:
         for d in range(n):
             np.testing.assert_allclose(got[d], np.arange(n * 8,
                                                          dtype=np.float32))
+
+
+class TestRingAllReduce8:
+    def test_n8_matches_psum(self):
+        from param_tpu.ops.ring_collectives import ring_all_reduce
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+
+        def ar(x):
+            return ring_all_reduce(x, "x")
+
+        f = jax.jit(jax.shard_map(ar, mesh=mesh, in_specs=P("x"),
+                                  out_specs=P("x"), check_vma=False))
+        x = jnp.asarray(np.random.default_rng(2).random(8 * 16,
+                                                        dtype=np.float32))
+        got = np.asarray(f(x)).reshape(8, 16)
+        expect = np.asarray(x).reshape(8, 16).sum(axis=0)
+        for d in range(8):
+            np.testing.assert_allclose(got[d], expect, rtol=1e-5)
