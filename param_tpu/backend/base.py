@@ -126,18 +126,43 @@ class Backend:
         self._pending: List[Any] = []
         self._pending_by_id: Dict[Any, Any] = {}
         self._trace_recorder: Optional[List[dict]] = None
+        self._unwrapped_collective_fn: Optional[Dict[str, Callable]] = None
 
     # -- comm trace recording ---------------------------------------------
+    @staticmethod
+    def _per_rank_msg_sizes(name: str, total_elems: int, n: int, args) -> tuple:
+        """(in_msg_size, out_msg_size) in PER-RANK element counts — the
+        basic-schema convention (reference commsTraceParser uses the sizes
+        verbatim at replay: inMsgSize elements per rank in, outMsgSize out;
+        commsTraceReplay.py:684 ``size_from_trace``).  ``total_elems`` is the
+        global sharded-array element count, so per-rank input is total/n."""
+        per = total_elems // max(n, 1)
+        if name in ("all_gather", "all_gather_base", "gather", "incast"):
+            out = per * n
+        elif name == "all_gather_v":
+            out = int(np.sum(args.in_split)) if args.in_split is not None else per * n
+        elif name in ("reduce_scatter", "reduce_scatter_base", "scatter"):
+            out = max(1, per // n)
+        elif name == "reduce_scatter_v":
+            splits = args.out_split if args.out_split is not None else args.in_split
+            out = int(np.max(splits)) if splits is not None else max(1, per // n)
+        else:
+            # all_reduce, reduce, broadcast, multicast, all_to_all(v), pt2pt
+            out = per
+        return per, out
+
     def start_trace_recording(self) -> None:
         """Record every collective call as a basic-schema trace element
         (the capture side of the comms-trace loop; the reference records
         these via its profiler/--print-comms paths).  Wraps the dispatch
         table once — only calls routed through ``collective_fn`` (as the
-        harness does) are recorded, not direct method calls."""
+        harness does) are recorded, not direct method calls.
+        ``stop_trace_recording`` restores the unwrapped table."""
         if self._trace_recorder is not None:
             self._trace_recorder = []
             return
         self._trace_recorder = []
+        self._unwrapped_collective_fn = dict(self.collective_fn)
         import time as _time
 
         for name, fn in list(self.collective_fn.items()):
@@ -146,17 +171,21 @@ class Backend:
                 if self._trace_recorder is not None and _name not in (
                     "barrier", "noop"
                 ):
-                    elems = (
+                    total = (
                         int(np.prod(args.in_tensor.shape))
                         if args.in_tensor is not None
                         else 0
                     )
+                    n = (args.group or self.get_default_group()).size
+                    in_elems, out_elems = self._per_rank_msg_sizes(
+                        _name, total, n, args
+                    )
                     rec = {
                         "comms": _name,
-                        "in_msg_size": elems,
-                        "out_msg_size": elems,
+                        "in_msg_size": in_elems,
+                        "out_msg_size": out_elems,
                         "dtype": str(getattr(args.in_tensor, "dtype", "float32")),
-                        "world_size": (args.group or self.get_default_group()).size,
+                        "world_size": n,
                         "startTime_ns": _time.monotonic_ns(),
                     }
                     if args.group is not None and args.group.pg_id:
@@ -183,6 +212,14 @@ class Backend:
     def stop_trace_recording(self) -> List[dict]:
         trace = self._trace_recorder or []
         self._trace_recorder = None
+        # restore the unwrapped dispatch table (in place — callers may hold a
+        # reference to the dict) so repeated start/stop cycles never stack
+        # wrappers or double-record
+        orig = getattr(self, "_unwrapped_collective_fn", None)
+        if orig is not None:
+            self.collective_fn.clear()
+            self.collective_fn.update(orig)
+            self._unwrapped_collective_fn = None
         return trace
 
     # -- init / topology ---------------------------------------------------

@@ -412,10 +412,11 @@ class TpuBackend(Backend):
         mx = max(splits)
         offs = np.zeros(n, dtype=np.int64)
         np.cumsum(splits[:-1], out=offs[1:])
-        key = (_group_key(g), "reduce_scatter_v", tuple(splits))
+        key = (_group_key(g), "reduce_scatter_v", args.red_op, tuple(splits))
+        red = self._reduce_body(args.red_op, g.axis)
 
         def body(x):
-            y = lax.psum(x, g.axis)
+            y = red(x)
             me = lax.axis_index(g.axis)
             start = jnp.asarray(offs, jnp.int32)[me]
             return lax.dynamic_slice_in_dim(y, start, mx, 0)

@@ -191,20 +191,35 @@ class CommsBench:
         (reference: dcheck, comms_utils.py:997-1055).  Returns True if OK."""
         g = args.group or self.backend.get_default_group()
         n = g.size
-        shards = self.backend.local_shards(out, g)
         tol = 1e-2 if self.elem_size <= 2 else 1e-5
         ranks_sum = n * (n + 1) / 2.0
 
         def close(a, v):
             return np.allclose(np.asarray(a, dtype=np.float64), v, rtol=tol, atol=tol)
 
+        if collective == "all_gather_v":
+            # replicated ragged concat (not rank-sharded — can't split by n):
+            # splits[r] elements of value r+1
+            out_arr = np.asarray(out)
+            splits = list(args.in_split or [len(out_arr) // n] * n)
+            expect = np.concatenate(
+                [np.full(s, r + 1, dtype=np.float64) for r, s in enumerate(splits)]
+            )
+            ok = close(out_arr, expect)
+            if not ok:
+                log.error("dcheck FAILED for %s", collective)
+            return ok
+
+        shards = self.backend.local_shards(out, g)
         ok = True
         if collective == "all_reduce":
             expect = {
                 "sum": ranks_sum, "max": float(n), "min": 1.0,
                 "avg": (n + 1) / 2.0,
+                "prod": float(np.prod(np.arange(1, n + 1, dtype=np.float64))),
             }.get(args.red_op)
             if expect is None:
+                log.warning("dcheck: all_reduce op %r not validated", args.red_op)
                 return True
             ok = all(close(s, expect) for s in shards)
         elif collective == "reduce":
@@ -239,9 +254,44 @@ class CommsBench:
             ok = all(
                 close(got[s * per : (s + 1) * per], s + 1) for s in srcs
             )
+        elif collective == "reduce_scatter_v":
+            # every reduced element is the ranks sum; rank r keeps a
+            # max-padded slice of them (slice source is uniform, so the pad
+            # is also ranks_sum)
+            expect = {
+                "sum": ranks_sum, "max": float(n), "min": 1.0,
+                "avg": (n + 1) / 2.0,
+            }.get(args.red_op)
+            if expect is None:
+                log.warning("dcheck: reduce_scatter_v op %r not validated",
+                            args.red_op)
+                return True
+            ok = all(close(s, expect) for s in shards)
+        elif collective == "all_to_allv":
+            if args.in_split is None:
+                per = len(shards[0]) // n
+                expect = np.repeat(np.arange(1, n + 1, dtype=np.float64), per)
+                ok = all(close(s, expect) for s in shards)
+            else:
+                S = np.asarray(args.in_split, dtype=np.int64)
+                if S.ndim == 1:
+                    S = np.tile(S, (n, 1))
+                out_offs = np.zeros_like(S)
+                out_offs[1:, :] = np.cumsum(S[:-1, :], axis=0)
+                recv_max = len(shards[0])
+                for r in range(n):
+                    expect = np.zeros(recv_max, dtype=np.float64)
+                    for i in range(n):
+                        o, c = int(out_offs[i, r]), int(S[i, r])
+                        expect[o : o + c] = i + 1
+                    ok = ok and close(shards[r], expect)
         elif collective == "pt2pt":
             for s_rank, d_rank in zip(args.src_ranks, args.dst_ranks):
                 ok = ok and close(shards[d_rank], s_rank + 1)
+        else:
+            log.warning("dcheck: no expectation for %s — not validated",
+                        collective)
+            return True
         if not ok:
             log.error("dcheck FAILED for %s", collective)
         return ok

@@ -184,14 +184,17 @@ class CommsReplay:
         g = self._group_for(op)
         n = g.size
         dtype = dtype_from_name(op.dtype)
-        elems = max(n, op.in_msg_size)
-        elems = (elems // n) * n or n
+        # in_msg_size is the PER-RANK input element count (basic-schema
+        # convention; reference prepComms uses it verbatim with
+        # size_from_trace, commsTraceReplay.py:684) — alloc_random takes the
+        # per-rank local shape.  Splitting collectives need a multiple of n.
+        elems = max(1, op.in_msg_size)
+        if op.comms in ("all_to_all", "all_to_all_single", "all_to_allv",
+                        "reduce_scatter", "reduce_scatter_base", "scatter"):
+            elems = max(n, (elems // n) * n)
         args = CollectiveArgs(
             group=g,
-            in_tensor=self.backend.alloc_random((elems // n if op.comms in
-                                                 ("all_gather", "all_gather_base",
-                                                  "gather") else elems,),
-                                                dtype, g),
+            in_tensor=self.backend.alloc_random((elems,), dtype, g),
             red_op="sum",
             src_rank=op.root if op.comms in ("broadcast", "scatter", "multicast")
             else op.src_rank,

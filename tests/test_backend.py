@@ -334,3 +334,25 @@ class TestMockBackend:
         x = mock.alloc_ones((4,), np.float32)
         mock.collective_fn["all_reduce"](CollectiveArgs(in_tensor=x))
         assert mock.calls[0][0] == "all_reduce"
+
+
+class TestReduceScatterVRedOp:
+    def test_max(self, backend):
+        """reduce_scatter_v must honor red_op (previously always psum)."""
+        splits = [2] * 8
+        total = sum(splits)
+        x = ranked(backend, elems=total)
+        out = backend.reduce_scatter_v(
+            CollectiveArgs(in_tensor=x, out_split=splits, red_op="max")
+        )
+        backend.complete_ops()
+        np.testing.assert_allclose(np.asarray(out), 8.0)
+
+    def test_min(self, backend):
+        splits = [2] * 8
+        x = ranked(backend, elems=sum(splits))
+        out = backend.reduce_scatter_v(
+            CollectiveArgs(in_tensor=x, out_split=splits, red_op="min")
+        )
+        backend.complete_ops()
+        np.testing.assert_allclose(np.asarray(out), 1.0)

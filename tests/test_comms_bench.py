@@ -148,3 +148,66 @@ class TestDtypeSweeps:
         assert res.pct(50) > 0
         if b.params.dcheck:
             assert res.dcheck_ok
+
+
+class TestDcheckRagged:
+    """dcheck expectations for the _v / ragged collectives (previously a
+    silent fall-through returning OK without validating)."""
+
+    def test_all_gather_v(self, backend):
+        b = make_bench(backend)
+        splits = [1, 2, 3, 4, 1, 2, 3, 4]
+        mx = max(splits)
+        x = backend.alloc_per_rank(
+            lambda r: np.full((mx,), r + 1, dtype=np.float32)
+        )
+        args = CollectiveArgs(in_tensor=x, in_split=splits)
+        out = backend.all_gather_v(args)
+        backend.complete_ops()
+        assert b.dcheck("all_gather_v", args, out)
+
+    def test_all_gather_v_catches_corruption(self, backend):
+        b = make_bench(backend)
+        splits = [2] * 8
+        x = backend.alloc_per_rank(
+            lambda r: np.full((2,), r + 1, dtype=np.float32)
+        )
+        args = CollectiveArgs(in_tensor=x, in_split=splits)
+        bad = np.zeros(sum(splits), dtype=np.float32)
+        assert not b.dcheck("all_gather_v", args, bad)
+
+    def test_reduce_scatter_v(self, backend):
+        b = make_bench(backend)
+        splits = [2, 2, 4, 4, 2, 2, 4, 4]
+        total = sum(splits)
+        x = backend.alloc_per_rank(
+            lambda r: np.full((total,), r + 1, dtype=np.float32)
+        )
+        args = CollectiveArgs(in_tensor=x, out_split=splits)
+        out = backend.reduce_scatter_v(args)
+        backend.complete_ops()
+        assert b.dcheck("reduce_scatter_v", args, out)
+
+    def test_all_to_allv(self, backend):
+        b = make_bench(backend)
+        splits = [2] * 8
+        x = backend.alloc_per_rank(
+            lambda r: np.full((16,), r + 1, dtype=np.float32)
+        )
+        args = CollectiveArgs(in_tensor=x, in_split=splits)
+        out = backend.all_to_allv(args)
+        backend.complete_ops()
+        assert b.dcheck("all_to_allv", args, out)
+
+    def test_all_to_allv_ragged_matrix(self, backend):
+        b = make_bench(backend)
+        rng = np.random.default_rng(0)
+        S = rng.integers(0, 4, size=(8, 8)).astype(np.int64)
+        row_max = int(S.sum(axis=1).max())
+        x = backend.alloc_per_rank(
+            lambda r: np.full((row_max,), r + 1, dtype=np.float32)
+        )
+        args = CollectiveArgs(in_tensor=x, in_split=S)
+        out = backend.all_to_allv(args)
+        backend.complete_ops()
+        assert b.dcheck("all_to_allv", args, out)

@@ -107,6 +107,28 @@ class TestTrainStep:
         g = np.asarray(grads["tables"])
         assert np.abs(g).sum() > 0
 
+    def test_sharded_grads_match_single_chip(self, setup):
+        """EVERY grad leaf from the sharded value_and_grad must equal
+        jax.grad of the identical single-chip loss_fn (catches the n×
+        table-grad scaling bug from the pmean→psum transpose under
+        check_vma=False)."""
+        cfg, model, params, batches = setup
+        dense, idx, labels = batches[0]
+        params_p, batch_p = model.place(params, (dense, idx, labels))
+        vg = jax.jit(model.make_value_and_grad())
+        loss_sh, grads_sh = vg(params_p, *batch_p)
+
+        ref_grads = jax.grad(
+            lambda p: model.loss_fn(
+                p, jnp.asarray(dense), jnp.asarray(idx), jnp.asarray(labels)
+            )
+        )(params)
+        flat_sh, _ = jax.tree.flatten(jax.tree.map(np.asarray, grads_sh))
+        flat_ref, _ = jax.tree.flatten(jax.tree.map(np.asarray, ref_grads))
+        assert len(flat_sh) == len(flat_ref)
+        for a, b in zip(flat_sh, flat_ref):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
 
 class TestAuc:
     def test_synthetic_learnable(self, mesh):

@@ -218,9 +218,10 @@ class TestTraceRecording:
         backend.complete_ops()
         trace = backend.stop_trace_recording()
         assert [t["comms"] for t in trace] == ["all_reduce", "all_to_all"]
-        # parses as a replayable basic trace
+        # parses as a replayable basic trace; sizes are PER-RANK element
+        # counts (the basic-schema convention prep_op assumes)
         ops = parse_trace(trace)
-        assert ops[0].in_msg_size == 64 * 8  # global elements
+        assert ops[0].in_msg_size == 64
 
 
 class TestBundledFixtures:

@@ -247,3 +247,73 @@ class TestEdgeCases:
         r = CommsReplay(backend, ReplayParams(auto_shrink=True))
         r.load(trace)
         assert r.ops[0].in_msg_size == 64
+
+
+class TestRecordingConvention:
+    """Trace recording must use PER-RANK element counts (the basic-schema
+    convention the replay side assumes) and must unwrap cleanly on stop."""
+
+    def test_per_rank_sizes(self, backend):
+        from param_tpu.backend.base import CollectiveArgs
+
+        backend.start_trace_recording()
+        x = backend.alloc_per_rank(
+            lambda r: np.full((128,), r + 1, dtype=np.float32)
+        )
+        backend.collective_fn["all_reduce"](CollectiveArgs(in_tensor=x))
+        xg = backend.alloc_per_rank(
+            lambda r: np.full((16,), r + 1, dtype=np.float32)
+        )
+        backend.collective_fn["all_gather"](CollectiveArgs(in_tensor=xg))
+        xr = backend.alloc_per_rank(
+            lambda r: np.full((64,), r + 1, dtype=np.float32)
+        )
+        backend.collective_fn["reduce_scatter"](CollectiveArgs(in_tensor=xr))
+        backend.complete_ops()
+        trace = backend.stop_trace_recording()
+        ar, ag, rs = trace
+        assert ar["in_msg_size"] == 128 and ar["out_msg_size"] == 128
+        assert ag["in_msg_size"] == 16 and ag["out_msg_size"] == 16 * 8
+        assert rs["in_msg_size"] == 64 and rs["out_msg_size"] == 8
+
+    def test_record_replay_same_traffic(self, backend):
+        """A recorded all_reduce replays with the ORIGINAL per-rank traffic
+        (previously world_size× inflated)."""
+        from param_tpu.backend.base import CollectiveArgs
+
+        backend.start_trace_recording()
+        x = backend.alloc_per_rank(
+            lambda r: np.full((128,), r + 1, dtype=np.float32)
+        )
+        backend.collective_fn["all_reduce"](CollectiveArgs(in_tensor=x))
+        backend.complete_ops()
+        trace = backend.stop_trace_recording()
+
+        rp = CommsReplay(backend, ReplayParams())
+        rp.load(trace)
+        args = rp.prep_op(rp.ops[0])
+        # global array = per-rank 128 × 8 ranks — matches the original x
+        assert args.in_tensor.shape[0] == 128 * 8
+        assert args.in_tensor.shape == np.asarray(x).shape
+
+    def test_stop_restores_dispatch_table(self, backend):
+        from param_tpu.backend.base import CollectiveArgs
+
+        fn_before = backend.collective_fn["all_reduce"]
+        backend.start_trace_recording()
+        assert backend.collective_fn["all_reduce"] is not fn_before
+        backend.stop_trace_recording()
+        assert backend.collective_fn["all_reduce"] is fn_before
+
+    def test_no_double_record_on_second_session(self, backend):
+        from param_tpu.backend.base import CollectiveArgs
+
+        x = backend.alloc_per_rank(
+            lambda r: np.full((8,), r + 1, dtype=np.float32)
+        )
+        for _ in range(2):
+            backend.start_trace_recording()
+            backend.collective_fn["all_reduce"](CollectiveArgs(in_tensor=x))
+            backend.complete_ops()
+            trace = backend.stop_trace_recording()
+            assert len(trace) == 1
