@@ -20,7 +20,15 @@ def build_parser() -> argparse.ArgumentParser:
         prog="param_tpu.replay", description="PARAM-TPU comm trace replay"
     )
     ap.add_argument("--trace-path", required=True)
-    ap.add_argument("--trace-type", default="basic", choices=["basic", "et"])
+    ap.add_argument(
+        "--trace-type", default="basic",
+        choices=["basic", "pytorch_et", "kineto", "et"],
+        help="basic JSON | PyTorch/Chakra host ET | Kineto unitrace with "
+             "comms metadata | param_tpu's own jaxpr ET",
+    )
+    ap.add_argument("--target-rank", type=int, default=0,
+                    help="rank whose comm stream to extract from per-rank "
+                         "pytorch_et/kineto traces")
     ap.add_argument("--dry-run", action="store_true")
     ap.add_argument("--num-replays", "--r", type=int, default=1)
     ap.add_argument("--num-warmup-replays", type=int, default=1)
@@ -48,6 +56,7 @@ def main(argv=None) -> int:
     params = ReplayParams(
         trace_path=ns.trace_path,
         trace_type=ns.trace_type,
+        target_rank=ns.target_rank,
         dry_run=ns.dry_run,
         num_replays=ns.num_replays,
         num_warmup_replays=ns.num_warmup_replays,

@@ -33,6 +33,11 @@ _ALIASES = {
     "reducescattertensor": "reduce_scatter_base",
     "sendrecv": "pt2pt",
     "recvanysource": "recv",
+    # coalesced variants map to their dense equivalents (reference handles
+    # them via flattened splits, et_replay/comm/commsTraceParser.py:218-226)
+    "allreducecoalesced": "all_reduce",
+    "allgatherintotensorcoalesced": "all_gather_base",
+    "reducescattertensorcoalesced": "reduce_scatter_base",
 }
 
 SKIP_OPS = {"wait", "barrier", "init", "batch_isend_irecv"}
@@ -142,11 +147,31 @@ def _parse_basic_op(cnt: int, cur: Dict[str, Any]) -> CommsOp:
     return op
 
 
-def parse_trace(in_trace: List[dict], trace_type: str = "basic") -> List[CommsOp]:
-    """(reference: parseTrace, commsTraceParser.py:27-62)"""
+VALID_TRACE_TYPES = ("basic", "pytorch_et", "kineto", "et")
+
+
+def parse_trace(
+    in_trace,
+    trace_type: str = "basic",
+    target_rank: int = 0,
+    total_ranks: int = 0,
+) -> List[CommsOp]:
+    """(reference: parseTrace, commsTraceParser.py:27-62; trace types
+    ``basic`` | ``pytorch_et`` | ``kineto`` — ``et`` [param_tpu's own jaxpr
+    ET] is handled by the replay loader)."""
     if trace_type == "basic":
         return [_parse_basic_op(i, cur) for i, cur in enumerate(in_trace)]
-    raise ValueError(f"unrecognized trace format {trace_type!r}")
+    if trace_type == "pytorch_et":
+        from param_tpu.trace.pytorch_et import comms_from_pytorch_et
+
+        return comms_from_pytorch_et(in_trace, target_rank, total_ranks)
+    if trace_type == "kineto":
+        from param_tpu.trace.pytorch_et import comms_from_kineto
+
+        return comms_from_kineto(in_trace, target_rank)
+    raise ValueError(
+        f"unrecognized trace format {trace_type!r}; valid: {VALID_TRACE_TYPES}"
+    )
 
 
 def read_trace_file(path: str) -> List[dict]:

@@ -41,7 +41,8 @@ class ReplayParams:
     commsTraceReplay.py:1411-1480)"""
 
     trace_path: Optional[str] = None
-    trace_type: str = "basic"
+    trace_type: str = "basic"  # basic | pytorch_et | kineto | et
+    target_rank: int = 0  # rank whose stream to take from per-rank traces
     dry_run: bool = False
     num_replays: int = 1
     num_warmup_replays: int = 1
@@ -92,7 +93,11 @@ class CommsReplay:
         else:
             if trace is None:
                 trace = read_trace_file(self.params.trace_path)
-            self.ops = parse_trace(trace, self.params.trace_type)
+            self.ops = parse_trace(
+                trace, self.params.trace_type,
+                target_rank=self.params.target_rank,
+                total_ranks=self.backend.get_world_size(),
+            )
         if self.params.auto_shrink:
             self._shrink_to_world()
         if self.params.rebalance_policy == "equal":
@@ -113,9 +118,15 @@ class CommsReplay:
                 op.in_msg_size = per_peer_in * world
                 op.out_msg_size = per_peer_out * world
                 if op.in_split:
-                    op.in_split = op.in_split[:world]
+                    # shrink: truncate (keeps raggedness); grow: equal splits
+                    # at the original per-peer size
+                    op.in_split = (op.in_split[:world] if old > world
+                                   else [per_peer_in] * world)
+                    op.in_msg_size = sum(op.in_split)
                 if op.out_split:
-                    op.out_split = op.out_split[:world]
+                    op.out_split = (op.out_split[:world] if old > world
+                                    else [per_peer_out] * world)
+                    op.out_msg_size = sum(op.out_split)
             elif op.comms in ("all_gather", "all_gather_base", "gather",
                               "reduce_scatter", "reduce_scatter_base", "scatter"):
                 per_rank = max(1, op.out_msg_size // old)
@@ -150,6 +161,11 @@ class CommsReplay:
             self._pg_cache[op.pg_id] = self.backend.new_group(ranks, pg_id=op.pg_id)
 
     def _group_for(self, op: CommsOp) -> CommGroup:
+        # under auto-shrink everything routes to the default group — trace
+        # PGs were laid out for a different world (reference: prepComms,
+        # commsTraceReplay.py:626-633)
+        if self.params.auto_shrink:
+            return self.backend.get_default_group()
         if op.pg_id is not None and op.pg_id in self._pg_cache:
             return self._pg_cache[op.pg_id]
         return self.backend.get_default_group()

@@ -26,6 +26,8 @@ DTYPE_MAP = {
     "int64": jnp.int64,
     "long": jnp.int64,
     "bool": jnp.bool_,
+    "byte": jnp.uint8,
+    "char": jnp.int8,
     "float8_e4m3": jnp.float8_e4m3fn,
     "float8_e5m2": jnp.float8_e5m2,
 }
