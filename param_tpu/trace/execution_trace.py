@@ -125,6 +125,10 @@ class ExecutionTrace:
                     self.tensors[tid].sinks.add(node.id)
         self.in_tensors: List[int] = data.get("in_tensors", [])
         self.out_tensors: List[int] = data.get("out_tensors", [])
+        # embedded closed-over constant values: tid → {"v": ..., "dtype": str}
+        self.const_tensors: Dict[int, Dict[str, Any]] = {
+            int(t): c for t, c in data.get("const_tensors", {}).items()
+        }
 
     # ------------------------------------------------------------- queries
     def get_nodes(self, clean: bool = False) -> List[Node]:
@@ -151,6 +155,7 @@ class ExecutionTrace:
             "schema": self.schema,
             "nodes": [n.to_json() for n in self.get_nodes()],
             "tensors": {t.id: t.to_json() for t in self.tensors.values()},
+            "const_tensors": {str(t): c for t, c in self.const_tensors.items()},
             "in_tensors": self.in_tensors,
             "out_tensors": self.out_tensors,
         }
@@ -201,9 +206,13 @@ class TraceValidator:
             for tid in n.inputs:
                 if tid is not None and tid not in self.et.tensors:
                     errors.append(f"node {n.id} reads unknown tensor {tid}")
-        # every non-input tensor must have a producer
+        # every non-input tensor must have a producer or an embedded const
         for t in self.et.tensors.values():
-            if not t.sources and t.id not in self.et.in_tensors:
+            if (
+                not t.sources
+                and t.id not in self.et.in_tensors
+                and t.id not in self.et.const_tensors
+            ):
                 errors.append(f"tensor {t.id} has no producer")
         ids = [n.id for n in self.et.get_nodes()]
         if len(ids) != len(set(ids)):
