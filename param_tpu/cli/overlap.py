@@ -22,7 +22,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument("--collective", default="all_reduce")
     ap.add_argument("--collective-pair", default=None,
-                    help="second collective (defaults to --collective)")
+                    help="comma-separated pair collective list run "
+                         "concurrently with --collective (defaults to "
+                         "--collective; reference comm_fn_pair_list)")
     ap.add_argument("--overlap-pair-pgs", action="store_true",
                     help="run the collective concurrently in two half-world "
                          "process groups instead of pairing two collectives")
@@ -42,15 +44,21 @@ def main(argv=None) -> int:
     from param_tpu.utils.sizes import parse_size, size_sweep
 
     bench = OverlapBench(dtype=ns.data_type)
-    pair = ns.collective_pair or ns.collective
+    pair = [
+        c.strip()
+        for c in (ns.collective_pair or ns.collective).split(",")
+        if c.strip()
+    ]
     sizes = size_sweep(parse_size(ns.b), parse_size(ns.e), ns.f)
     for size in sizes:
         if ns.overlap_pair_pgs:
             res = bench.run_split_pgs(ns.collective, size, n_hi=ns.chain)
-            bench.report(ns.collective, ns.collective, size, res, "split-pgs")
+            bench.report(
+                [ns.collective, ns.collective], size, res, "split-pgs"
+            )
         else:
             res = bench.run_same_group(ns.collective, pair, size, n_hi=ns.chain)
-            bench.report(ns.collective, pair, size, res, "same-group")
+            bench.report([ns.collective] + pair, size, res, "same-group")
     return 0
 
 

@@ -69,15 +69,34 @@ def _coll_step(name: str, axis: str, damp: float):
 
 @dataclass
 class OverlapResult:
-    t_a_us: float
-    t_b_us: float
+    """N-way overlap measurement: per-collective solo chain times + the
+    combined chain where every collective runs at FULL size on its own
+    tensor (reference posts main + each pair collective on separate
+    ``opTensor_pair`` tensors, commsOverlapBench.py:161-240)."""
+
+    solo_us: tuple
     t_both_us: float
+
+    # 2-way convenience views
+    @property
+    def t_a_us(self) -> float:
+        return self.solo_us[0]
+
+    @property
+    def t_b_us(self) -> float:
+        return self.solo_us[1]
 
     @property
     def overlap_efficiency(self) -> float:
-        saved = self.t_a_us + self.t_b_us - self.t_both_us
-        lo = min(self.t_a_us, self.t_b_us)
-        return max(0.0, min(1.0, saved / lo)) if lo > 0 else 0.0
+        """(sum(solo) - t_both) / (sum(solo) - max(solo)): 1.0 = everything
+        hidden behind the longest collective, 0.0 = fully serialized.
+        Reduces to the usual saved/min definition for two collectives."""
+        total = sum(self.solo_us)
+        hideable = total - max(self.solo_us)
+        if hideable <= 0:
+            return 0.0
+        saved = total - self.t_both_us
+        return max(0.0, min(1.0, saved / hideable))
 
 
 class OverlapBench:
@@ -115,39 +134,70 @@ class OverlapBench:
 
         return make
 
+    def _make_multi_chain(self, mesh, bodies):
+        """Chain builder for ``len(bodies)`` independent full-size buffers:
+        each chain step applies body_i to buffer_i (no data dependence
+        between them, so XLA may overlap)."""
+        nbuf = len(bodies)
+
+        @functools.lru_cache(maxsize=None)
+        def make(nn):
+            def outer(*xs):
+                def step(carry, i):
+                    s, vs = carry
+                    vs2 = tuple(f(v) for f, v in zip(bodies, vs))
+                    s2 = s
+                    for v in vs2:
+                        s2 = s2 + jnp.sum(v.astype(jnp.float32))
+                    return (s2, vs2), None
+
+                (s, _), _ = lax.scan(
+                    step, (jnp.float32(0), tuple(xs)), jnp.arange(nn)
+                )
+                return lax.psum(s, mesh.axis_names)
+
+            return jax.jit(
+                jax.shard_map(
+                    outer, mesh=mesh, in_specs=(P("rank"),) * nbuf,
+                    out_specs=P(), check_vma=False,
+                )
+            )
+
+        return make
+
     def run_same_group(
-        self, coll_a: str, coll_b: str, size_bytes: int, n_hi: int = 16
+        self, coll_a: str, coll_pair, size_bytes: int, n_hi: int = 16
     ) -> OverlapResult:
-        """Both collectives over all ranks, in one program per step."""
+        """Main collective + a pair LIST, all over all ranks in one program
+        per step; every collective gets its OWN full-``size_bytes`` tensor
+        (reference runColl posts main then each pair collective at full
+        size under paramStreamGuard, commsOverlapBench.py:161-240).
+
+        ``coll_pair``: one name or a list of names (N-way overlap)."""
+        pair = [coll_pair] if isinstance(coll_pair, str) else list(coll_pair)
+        names = [coll_a] + pair
         mesh = self._mesh1()
         n = len(self.devices)
-        # each half of the buffer feeds one collective; keep halves
-        # divisible by the axis size
-        elems = max(2 * n, size_bytes // self.elem) // (2 * n) * (2 * n)
+        elems = max(n, size_bytes // self.elem) // n * n
         damp = 1.0 / n
-        a = _coll_step(coll_a, "rank", damp)
-        b = _coll_step(coll_b, "rank", damp)
-        x = jax.device_put(
-            np.random.default_rng(0).random(elems).astype(np.float32),
-            NamedSharding(mesh, P("rank")),
-        ).astype(self.dtype)
+        steps = [_coll_step(c, "rank", damp) for c in names]
+        xs = tuple(
+            jax.device_put(
+                np.random.default_rng(seed).random(elems).astype(np.float32),
+                NamedSharding(mesh, P("rank")),
+            ).astype(self.dtype)
+            for seed in range(len(names))
+        )
 
-        mk_a = self._make_chain(mesh, P("rank"), lambda v, i: a(v))
-        mk_b = self._make_chain(mesh, P("rank"), lambda v, i: b(v))
-
-        def both(v, i):
-            # two independent collectives in the same step: feed each half
-            # of the buffer so neither depends on the other
-            half = v.shape[0] // 2
-            va, vb = v[:half], v[half:]
-            return jnp.concatenate([a(va), b(vb)])
-
-        mk_ab = self._make_chain(mesh, P("rank"), both)
-
-        t_a = measure_chain(lambda nn: mk_a(nn)(x), n_hi=n_hi)
-        t_b = measure_chain(lambda nn: mk_b(nn)(x), n_hi=n_hi)
-        t_ab = measure_chain(lambda nn: mk_ab(nn)(x), n_hi=n_hi)
-        return OverlapResult(t_a * 1e6, t_b * 1e6, t_ab * 1e6)
+        solos = []
+        for f, x in zip(steps, xs):
+            mk = self._make_multi_chain(mesh, (f,))
+            solos.append(
+                measure_chain(lambda nn, mk=mk, x=x: mk(nn)(x), n_hi=n_hi)
+            )
+        mk_all = self._make_multi_chain(mesh, tuple(steps))
+        t_all = measure_chain(lambda nn: mk_all(nn)(*xs), n_hi=n_hi)
+        return OverlapResult(tuple(t * 1e6 for t in solos), t_all * 1e6)
 
     def run_split_pgs(
         self, coll: str, size_bytes: int, n_hi: int = 16
@@ -181,22 +231,35 @@ class OverlapBench:
         t_single = measure_chain(lambda nn: mk_single(nn)(x1), n_hi=n_hi)
         t_both = measure_chain(lambda nn: mk_both(nn)(x2), n_hi=n_hi)
         # both-groups-concurrent vs one-group-alone: tA = tB = t_single
-        return OverlapResult(t_single * 1e6, t_single * 1e6, t_both * 1e6)
+        return OverlapResult((t_single * 1e6, t_single * 1e6), t_both * 1e6)
 
-    def report(self, coll_a, coll_b, size_bytes, res: OverlapResult, mode: str):
+    def report(self, colls, size_bytes, res: OverlapResult, mode: str):
+        """Per-collective solo + overlapped busBW (every collective ran at
+        full ``size_bytes`` in the combined chain)."""
+        if isinstance(colls, str):
+            colls = [colls]
         n = len(self.devices)
-        bw_a = alg_bw(size_bytes, res.t_a_us) * bus_bw_factor(coll_a, n)
-        bw_b = alg_bw(size_bytes, res.t_b_us) * bus_bw_factor(coll_b, n)
-        bw_sum = (
-            alg_bw(size_bytes, res.t_both_us) * bus_bw_factor(coll_a, n)
-            + alg_bw(size_bytes, res.t_both_us) * bus_bw_factor(coll_b, n)
+        solo_bw = [
+            alg_bw(size_bytes, t) * bus_bw_factor(c, n)
+            for c, t in zip(colls, res.solo_us)
+        ]
+        # in the overlapped run every collective finished within t_both
+        olap_bw = [
+            alg_bw(size_bytes, res.t_both_us) * bus_bw_factor(c, n)
+            for c in colls
+        ]
+        solos = " ".join(
+            f"t({c})={t:.1f}us" for c, t in zip(colls, res.solo_us)
+        )
+        bws = " ".join(
+            f"busBW({c})={s:.2f}/{o:.2f}"
+            for c, s, o in zip(colls, solo_bw, olap_bw)
         )
         print(
-            f"OVERLAP-RES mode={mode} {coll_a}+{coll_b} size={size_bytes}B "
-            f"tA={res.t_a_us:.1f}us tB={res.t_b_us:.1f}us "
-            f"tAB={res.t_both_us:.1f}us eff={res.overlap_efficiency:.1%} "
-            f"busBW(A)={bw_a:.2f} busBW(B)={bw_b:.2f} "
-            f"overlapped busBW sum={bw_sum:.2f} GB/s"
+            f"OVERLAP-RES mode={mode} {'+'.join(colls)} size={size_bytes}B "
+            f"{solos} tAll={res.t_both_us:.1f}us "
+            f"eff={res.overlap_efficiency:.1%} {bws} "
+            f"overlapped busBW sum={sum(olap_bw):.2f} GB/s"
         )
 
 

