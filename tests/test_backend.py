@@ -56,6 +56,30 @@ class TestReduce:
         for r, s in enumerate(shards):
             np.testing.assert_allclose(s, 36.0 if r == 3 else 0.0)
 
+    def test_ring_chain_red_ops(self, backend):
+        """The ring-reduce ppermute chain must honor every red_op."""
+        x = ranked(backend)
+        for op, want in (("max", 8.0), ("min", 1.0), ("avg", 4.5)):
+            out = backend.reduce(
+                CollectiveArgs(in_tensor=x, dst_rank=0, red_op=op)
+            )
+            backend.complete_ops()
+            shards = backend.local_shards(out)
+            np.testing.assert_allclose(shards[0], want)
+            for s in shards[1:]:
+                np.testing.assert_allclose(s, 0.0)
+
+    def test_nonzero_root(self, backend):
+        """Chain wrap-around: root in the middle of the ring."""
+        x = ranked(backend)
+        out = backend.reduce(
+            CollectiveArgs(in_tensor=x, dst_rank=5, red_op="sum")
+        )
+        backend.complete_ops()
+        shards = backend.local_shards(out)
+        for r, s in enumerate(shards):
+            np.testing.assert_allclose(s, 36.0 if r == 5 else 0.0)
+
 
 class TestAllGather:
     def test_tiled(self, backend):
