@@ -30,7 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--n", type=int, default=20, help="timed iterations")
     ap.add_argument("--w", type=int, default=2, help="warmup iterations")
     ap.add_argument("--data-type", default="float32")
-    ap.add_argument("--mode", default="dispatch",
+    ap.add_argument("--mode", default="graph",
                     choices=["dispatch", "blocking", "graph"],
                     help="timing mode (blocking == reference --z 1)")
     ap.add_argument("--z", type=int, default=None,

@@ -97,13 +97,16 @@ class CollBench(CommsBench):
         elif p.mode == TimingMode.GRAPH:
             # scalar-fetch chain timing: the only mode whose numbers are
             # trustworthy on remote-attached TPUs (see timing.measure_chain)
+            # a real sample for the percentiles: at least 10 reps
+            # (chain programs are compiled once and re-run, so extra reps
+            # cost execution only)
             per = [
                 measure_chain(
                     lambda n: self.backend.coll_chain(collective, args, n),
                     n_lo=max(1, p.num_iters // 8),
                     n_hi=p.num_iters,
                 )
-                for _ in range(self.reps)
+                for _ in range(max(self.reps, 10))
             ]
             res.lat_us = [t * 1e6 for t in per]
         else:

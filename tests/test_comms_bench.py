@@ -71,6 +71,40 @@ class TestRunOne:
         res = b.run_one("all_reduce", 512, backend.get_default_group())
         assert res.pct(50) > 0
 
+    def test_graph_mode_reps_give_real_sample(self, backend):
+        """GRAPH percentiles must come from >=10 samples (VERDICT r1 #5)."""
+        b = make_bench(backend, mode=TimingMode.GRAPH)
+        b.params.dcheck = False
+        res = b.run_one("all_reduce", 512, backend.get_default_group())
+        assert len(res.lat_us) >= 10
+
+    def test_graph_chain_covers_every_collective(self, backend):
+        """coll_chain (trustworthy GRAPH timing) must support the FULL
+        collective surface, incl. rooted and ragged ops (VERDICT r1 #5)."""
+        from param_tpu.backend.base import SUPPORTED_COLLECTIVES
+
+        b = make_bench(backend, mode=TimingMode.GRAPH)
+        g = backend.get_default_group()
+        for coll in SUPPORTED_COLLECTIVES:
+            if coll == "barrier":
+                continue
+            args = b.prep_comm(coll, 512, g)
+            if coll == "pt2pt":
+                args.src_ranks, args.dst_ranks = [0], [7]
+            if coll == "all_to_allv":
+                args.in_split = [16] * 8  # ragged path, equal splits
+            out = backend.coll_chain(coll, args, 2)
+            assert np.isfinite(float(out)), coll
+
+    def test_graph_chain_ragged_a2av_uneven(self, backend):
+        """Uneven split matrix goes through the ragged chain fold."""
+        b = make_bench(backend, mode=TimingMode.GRAPH)
+        g = backend.get_default_group()
+        args = b.prep_comm("all_to_allv", 1024, g)
+        args.in_split = [8, 16, 8, 16, 8, 16, 8, 16]
+        out = backend.coll_chain("all_to_allv", args, 2)
+        assert np.isfinite(float(out))
+
     def test_quant_bitwidth_scales_busbw(self, backend):
         b = make_bench(backend)
         b.params.dcheck = False
@@ -114,7 +148,7 @@ class TestCli:
         p = CommsParams.from_args(ns)
         assert p.collectives == ["all_reduce"]
         assert p.begin_size == 8
-        assert p.mode == TimingMode.DISPATCH
+        assert p.mode == TimingMode.GRAPH
 
     def test_parser_z_compat(self):
         ns = build_parser().parse_args(["--z", "1"])
