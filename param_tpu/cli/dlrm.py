@@ -26,9 +26,15 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--arch-mlp-bot", default="512-256-64")
     ap.add_argument("--arch-mlp-top", default="512-256-1")
     ap.add_argument("--mini-batch-size", "--batch", type=int, default=2048)
-    ap.add_argument("--optimizer", default="adagrad", choices=["sgd", "adagrad"])
+    ap.add_argument("--optimizer", default="adagrad",
+                    choices=["sgd", "adagrad", "sparse_sgd", "sparse_adagrad"],
+                    help="sparse_* update only the gathered table rows "
+                         "(the fbgemm exact-path analogue)")
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--regions", default=None,
+                    help="comma-separated subset of timer regions to run "
+                         "(default: all)")
     ap.add_argument("--chain", type=int, default=8, help="ops per timing chain")
     ap.add_argument("--print-comms", default=None, metavar="PATH",
                     help="dump the per-step comm pattern as a basic-schema "
@@ -75,7 +81,9 @@ def main(argv=None) -> int:
     devs = jax.devices()
     mesh = Mesh(np.array(devs), ("x",))
     model = DlrmModel(cfg, mesh)
-    bench = DlrmCommBench(model, make_optimizer(ns.optimizer, ns.lr))
+    opt = (ns.optimizer if ns.optimizer.startswith("sparse")
+           else make_optimizer(ns.optimizer, ns.lr))
+    bench = DlrmCommBench(model, opt, lr=ns.lr)
 
     if ns.print_comms:
         bench.dump_comms(ns.print_comms)
@@ -87,8 +95,9 @@ def main(argv=None) -> int:
 
     from param_tpu.utils.profiler import profile_to
 
+    regions = ns.regions.split(",") if ns.regions else None
     with profile_to(ns.profile):
-        results = bench.run(reps=ns.reps, n_hi=ns.chain)
+        results = bench.run(reps=ns.reps, n_hi=ns.chain, regions=regions)
     bench.report(results)
     if ns.profile:
         from param_tpu.trace.device_trace import (
@@ -124,14 +133,26 @@ def train_e2e(model, cfg, ns) -> int:
     )
     batches = list(ds)
     params = init_dlrm_params(jax.random.PRNGKey(0), cfg)
-    opt = make_optimizer(ns.optimizer, ns.lr)
-    step = model.make_train_step(opt)
     params, _ = model.place(params, batches[0])
-    st = opt.init(params)
+    if ns.optimizer == "sparse_sgd":
+        sparse_step = model.make_sparse_sgd_step(ns.lr)
+        st = None
+    elif ns.optimizer == "sparse_adagrad":
+        sparse_step = model.make_sparse_adagrad_step(ns.lr)
+        st = model.init_adagrad_state(params)
+    else:
+        opt = make_optimizer(ns.optimizer, ns.lr)
+        step = model.make_train_step(opt)
+        st = opt.init(params)
     t0 = time.perf_counter()
     for i, (dense, idx, labels) in enumerate(batches[:-1]):
         _, b = model.place(jax.tree.map(np.asarray, params), (dense, idx, labels))
-        params, st, loss = step(params, st, *b)
+        if ns.optimizer == "sparse_sgd":
+            params, loss = sparse_step(params, *b)
+        elif ns.optimizer == "sparse_adagrad":
+            params, st, loss = sparse_step(params, st, *b)
+        else:
+            params, st, loss = step(params, st, *b)
         if i % max(1, ns.train_batches // 10) == 0:
             print(f"batch {i:5d}  loss {float(loss):.5f}")
     jax.block_until_ready(params)

@@ -54,9 +54,13 @@ REGIONS = [
 
 
 class DlrmCommBench:
-    def __init__(self, model: DlrmModel, optimizer):
+    def __init__(self, model: DlrmModel, optimizer, lr: float = 0.01):
+        """``optimizer`` is an optax optimizer for the dense fused step, or
+        the string ``"sparse_sgd"`` / ``"sparse_adagrad"`` to time the
+        sparse-row table-update step (the reference's fbgemm exact path)."""
         self.model = model
         self.optimizer = optimizer
+        self.lr = lr
         cfg = model.cfg
         self.n = model.mesh.devices.size if model.mesh else 1
         self.local_batch = cfg.batch // self.n
@@ -281,6 +285,50 @@ class DlrmCommBench:
         return out
 
     def _step_chain(self, params, batch):
+        if isinstance(self.optimizer, str):
+            return self._sparse_step_chain(params, batch)
+        return self._dense_step_chain(params, batch)
+
+    def _sparse_step_chain(self, params, batch):
+        """Chain of sparse-row-update train steps (make_sparse_{sgd,adagrad}
+        _step): only gathered rows are touched, no dense table grad."""
+        import functools
+
+        model = self.model
+        dense, idx, labels = batch
+        E = model.cfg.rows_per_table
+        if self.optimizer == "sparse_sgd":
+            raw = model.make_sparse_sgd_step(self.lr, jit=False)
+
+            @functools.partial(jax.jit, static_argnames="n")
+            def run(params, dense, idx, labels, n):
+                def step(p, i):
+                    shifted = (idx + i) % E
+                    p, loss = raw(p, dense, shifted, labels)
+                    return p, loss
+
+                _, losses = jax.lax.scan(step, params, jnp.arange(n))
+                return losses[-1]
+
+            return lambda n: run(params, dense, idx, labels, n=n)
+
+        raw = model.make_sparse_adagrad_step(self.lr, jit=False)
+        acc = model.init_adagrad_state(params)
+
+        @functools.partial(jax.jit, static_argnames="n")
+        def run(params, acc, dense, idx, labels, n):
+            def step(carry, i):
+                p, a = carry
+                shifted = (idx + i) % E
+                p, a, loss = raw(p, a, dense, shifted, labels)
+                return (p, a), loss
+
+            _, losses = jax.lax.scan(step, (params, acc), jnp.arange(n))
+            return losses[-1]
+
+        return lambda n: run(params, acc, dense, idx, labels, n=n)
+
+    def _dense_step_chain(self, params, batch):
         """Chain of REAL train steps (params/opt state carried through the
         scan) returning the final loss scalar."""
         model, opt = self.model, self.optimizer
@@ -307,7 +355,11 @@ class DlrmCommBench:
         return lambda n: run(params, opt_state, dense, idx, labels, n=n)
 
     # ------------------------------------------------------------------- run
-    def run(self, reps: int = 3, n_lo: int = 1, n_hi: int = 8) -> Dict[str, Dict]:
+    def run(self, reps: int = 3, n_lo: int = 1, n_hi: int = 8,
+            regions: List[str] | None = None) -> Dict[str, Dict]:
+        """``regions``: optional subset of region names to time (each region
+        is its own compiled chain program; skipping regions skips their
+        compiles — matters for big-table configs on real hardware)."""
         cfg = self.model.cfg
         ds = RandomDataset(
             batch=cfg.batch, dense_dim=cfg.dense_dim, num_tables=cfg.num_tables,
@@ -316,6 +368,12 @@ class DlrmCommBench:
         params = init_dlrm_params(jax.random.PRNGKey(0), cfg)
         params, batch = self.model.place(params, next(iter(ds)))
         chains = self.make_chains(params, batch)
+        if regions is not None:
+            unknown = set(regions) - set(chains)
+            if unknown:
+                raise ValueError(f"unknown regions {sorted(unknown)}; "
+                                 f"known: {sorted(chains)}")
+            chains = {k: v for k, v in chains.items() if k in regions}
         results: Dict[str, Dict] = {}
         for name, chain in chains.items():
             per = [measure_chain(chain, n_lo=n_lo, n_hi=n_hi) for _ in range(reps)]
@@ -330,12 +388,13 @@ class DlrmCommBench:
                 k: max(0.0, results["step_total"][k] - results["fwd_total"][k])
                 for k in results["step_total"]
             }
-        step_us = results["step_total"]["p50_us"]
-        results["_summary"] = {
-            "qps": cfg.batch / (step_us / 1e6) if step_us else 0.0,
-            "batch": cfg.batch,
-            "world": self.n,
-        }
+        if "step_total" in results:
+            step_us = results["step_total"]["p50_us"]
+            results["_summary"] = {
+                "qps": cfg.batch / (step_us / 1e6) if step_us else 0.0,
+                "batch": cfg.batch,
+                "world": self.n,
+            }
         return results
 
     def report(self, results: Dict[str, Dict]) -> None:
@@ -348,8 +407,9 @@ class DlrmCommBench:
                 continue
             print(f"{name:>18}{r['p50_us']:>12.1f}{r['p75_us']:>12.1f}"
                   f"{r['p95_us']:>12.1f}")
-        s = results["_summary"]
-        print(f"QPS: {s['qps']:.1f}")
+        s = results.get("_summary")
+        if s:
+            print(f"QPS: {s['qps']:.1f}")
 
     # ----------------------------------------------------------- print-comms
     def comms_trace(self) -> List[dict]:

@@ -96,6 +96,12 @@ def pad_table_dim(table, multiple: int = 64):
 #   larger operands: ERRATIC — 5M rows/s for most sizes (524288, 800k,
 #   983k, 1048576, 2M rows all ~33 ms) but 2.4 ms at exactly 1M rows;
 #   the compiler's strategy choice is not monotonic or predictable.
+# The erratic path is UPDATE-COUNT dependent: 20480 row-updates into a
+# 1Mx64 operand scatter in place at 1.48 ms — faster than chunked-zeros
+# delta+add (8.7 ms) and chunked slice/update-slice (9.3 ms), with zero
+# extra memory (scripts/scatter_experiment.py).  The sparse-optimizer
+# steps in models/dlrm.py therefore scatter in place (K = batch*nnz is
+# small); this backward (K = 164k-scale) keeps the chunked-zeros path.
 # Sorting, indices_are_sorted, slice/update-slice chunk passes, and
 # fusing the update into the scatter were all slower.  The ONE uniformly
 # fast formulation for big tables: scatter into FRESH ZEROS per

@@ -344,6 +344,81 @@ class TestSparseSgdStep:
                                            rtol=1e-5, atol=1e-6)
 
 
+class TestSparseAdagradStep:
+    def _run_parity(self, mesh, cfg):
+        """Sparse-row adagrad must match a dense optax.adagrad step exactly
+        (duplicates are segment-summed per row BEFORE squaring, so the
+        accumulator sees the total per-row gradient like the dense path)."""
+        model = DlrmModel(cfg, mesh)
+        params = init_dlrm_params(jax.random.PRNGKey(0), cfg)
+        ds = RandomDataset(batch=cfg.batch, dense_dim=cfg.dense_dim,
+                           num_tables=cfg.num_tables, nnz=cfg.nnz,
+                           num_rows=cfg.rows_per_table, num_batches=1)
+        batch = next(iter(ds))
+        lr, eps, acc0 = 0.05, 1e-7, 0.1
+
+        p_dense, b = model.place(params, batch)
+        opt = optax.adagrad(lr, initial_accumulator_value=acc0, eps=eps)
+        st = opt.init(p_dense)
+        dense_step = model.make_train_step(opt)
+        p_after_dense, _, loss_dense = dense_step(p_dense, st, *b)
+
+        p_sparse, b2 = model.place(params, batch)
+        acc = model.init_adagrad_state(p_sparse, initial_accumulator=acc0)
+        sparse_step = model.make_sparse_adagrad_step(
+            lr, eps=eps, initial_accumulator=acc0
+        )
+        p_after_sparse, acc_after, loss_sparse = sparse_step(
+            p_sparse, acc, *b2
+        )
+
+        np.testing.assert_allclose(float(loss_dense), float(loss_sparse),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(p_after_sparse["tables"]),
+            np.asarray(p_after_dense["tables"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        for key in ("bot", "top"):
+            for (w1, b1), (w2, b2_) in zip(p_after_dense[key],
+                                           p_after_sparse[key]):
+                np.testing.assert_allclose(np.asarray(w2), np.asarray(w1),
+                                           rtol=1e-5, atol=1e-6)
+        return acc_after
+
+    def test_matches_dense_adagrad(self, mesh):
+        self._run_parity(mesh, tiny_cfg())
+
+    def test_matches_dense_adagrad_heavy_duplicates(self, mesh):
+        """40-row tables with 256 lookups per table — most rows repeat many
+        times, exercising the sum-before-square segment path."""
+        self._run_parity(mesh, tiny_cfg(rows_per_table=40))
+
+    def test_untouched_rows_unchanged(self, mesh):
+        """Rows never gathered keep both param and accumulator values."""
+        cfg = tiny_cfg()
+        model = DlrmModel(cfg, mesh)
+        params = init_dlrm_params(jax.random.PRNGKey(0), cfg)
+        dense = np.random.default_rng(0).standard_normal(
+            (cfg.batch, cfg.dense_dim)).astype(np.float32)
+        # every lookup hits row 7 only
+        idx = np.full((cfg.batch, cfg.num_tables, cfg.nnz), 7, np.int32)
+        labels = np.ones((cfg.batch,), np.float32)
+        p, b = model.place(params, (dense, idx, labels))
+        acc = model.init_adagrad_state(p, initial_accumulator=0.1)
+        step = model.make_sparse_adagrad_step(0.05)
+        p2, acc2, _ = step(p, acc, *b)
+        t_before = np.asarray(params["tables"])
+        t_after = np.asarray(p2["tables"])
+        a_after = np.asarray(acc2["tables"])
+        mask = np.ones(cfg.rows_per_table, bool)
+        mask[7] = False
+        np.testing.assert_array_equal(t_after[:, mask], t_before[:, mask])
+        np.testing.assert_array_equal(a_after[:, mask], np.float32(0.1))
+        assert not np.allclose(t_after[:, 7], t_before[:, 7])
+        assert (a_after[:, 7] > 0.1).all()
+
+
 class TestRaggedEdgeCases:
     def test_all_zero_lengths(self, mesh):
         """Zero-length bags everywhere: every output row is the pad row."""

@@ -104,6 +104,7 @@ class TestEmbeddingBag:
         assert embedding_bytes(2048, 30, 128, 4) == 2048 * 30 * 128 * 4
 
 
+
 class TestMlp:
     def test_forward_shapes(self):
         params = init_mlp(jax.random.PRNGKey(0), [16, 32, 8])
