@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="sparse_* update only the gathered table rows "
                          "(the fbgemm exact-path analogue)")
     ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--packed-tables", action="store_true",
+                    help="store tables lane-packed (E/pack, 128): free flat "
+                         "view for the sparse-update kernel, no relayout "
+                         "copies (needs 128 %% emb_dim == 0)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--regions", default=None,
                     help="comma-separated subset of timer regions to run "
@@ -80,7 +84,7 @@ def main(argv=None) -> int:
     )
     devs = jax.devices()
     mesh = Mesh(np.array(devs), ("x",))
-    model = DlrmModel(cfg, mesh)
+    model = DlrmModel(cfg, mesh, packed_tables=ns.packed_tables)
     opt = (ns.optimizer if ns.optimizer.startswith("sparse")
            else make_optimizer(ns.optimizer, ns.lr))
     bench = DlrmCommBench(model, opt, lr=ns.lr)
@@ -121,7 +125,6 @@ def train_e2e(model, cfg, ns) -> int:
     import jax
     import numpy as np
 
-    from param_tpu.models.dlrm import init_dlrm_params
     from param_tpu.models.dlrm_data import data_loader
     from param_tpu.ops.mlp import make_optimizer
 
@@ -132,7 +135,7 @@ def train_e2e(model, cfg, ns) -> int:
         num_batches=ns.train_batches + 1, distribution=ns.data_distribution,
     )
     batches = list(ds)
-    params = init_dlrm_params(jax.random.PRNGKey(0), cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
     params, _ = model.place(params, batches[0])
     if ns.optimizer == "sparse_sgd":
         sparse_step = model.make_sparse_sgd_step(ns.lr)
@@ -163,7 +166,8 @@ def train_e2e(model, cfg, ns) -> int:
     dense, idx, labels = batches[-1]
     host_params = jax.tree.map(np.asarray, params)
     logits = np.asarray(
-        DlrmModel(cfg).forward(host_params, np.asarray(dense), np.asarray(idx))
+        DlrmModel(cfg, packed_tables=model.packed).forward(
+            host_params, np.asarray(dense), np.asarray(idx))
     )
     order = np.argsort(logits)
     ranks = np.empty_like(order, dtype=np.float64)

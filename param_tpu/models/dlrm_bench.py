@@ -26,8 +26,7 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from param_tpu.comms.timing import measure_chain
-from param_tpu.models.dlrm import DlrmModel, _forward_local, \
-    _lookup_local_tables, init_dlrm_params
+from param_tpu.models.dlrm import DlrmModel, _forward_local
 from param_tpu.models.dlrm_data import RandomDataset
 from param_tpu.utils.dtypes import dtype_size
 from param_tpu.utils.sizes import percentile
@@ -110,7 +109,7 @@ class DlrmCommBench:
 
             def step(s, i):
                 shifted = (idx_local + i) % E
-                pooled = _lookup_local_tables(tables, shifted)
+                pooled = model.lookup_local(tables, shifted)
                 return s + jnp.sum(pooled.astype(jnp.float32)), None
 
             s, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(n))
@@ -118,7 +117,7 @@ class DlrmCommBench:
 
         def fwd_a2a_body(tables, idx, n):
             idx_local = lax.all_to_all(idx, AXIS, 1, 0, tiled=True)
-            pooled = _lookup_local_tables(tables, idx_local)
+            pooled = model.lookup_local(tables, idx_local)
 
             def step(s, i):
                 p = pooled + i.astype(pooled.dtype) * 1e-6
@@ -365,7 +364,7 @@ class DlrmCommBench:
             batch=cfg.batch, dense_dim=cfg.dense_dim, num_tables=cfg.num_tables,
             nnz=cfg.nnz, num_rows=cfg.rows_per_table, num_batches=1,
         )
-        params = init_dlrm_params(jax.random.PRNGKey(0), cfg)
+        params = self.model.init_params(jax.random.PRNGKey(0))
         params, batch = self.model.place(params, next(iter(ds)))
         chains = self.make_chains(params, batch)
         if regions is not None:

@@ -394,6 +394,34 @@ class TestSparseAdagradStep:
         times, exercising the sum-before-square segment path."""
         self._run_parity(mesh, tiny_cfg(rows_per_table=40))
 
+    def test_pallas_table_update_matches_xla(self, mesh):
+        """The Pallas in-place row-update kernel (interpret mode on CPU)
+        must produce the same step as the XLA scatter path.  Needs a
+        lane-packable config: emb_dim 16 -> pack 8, rows % 8 == 0."""
+        cfg = tiny_cfg(rows_per_table=512)
+        model = DlrmModel(cfg, mesh)
+        params = init_dlrm_params(jax.random.PRNGKey(0), cfg)
+        ds = RandomDataset(batch=cfg.batch, dense_dim=cfg.dense_dim,
+                           num_tables=cfg.num_tables, nnz=cfg.nnz,
+                           num_rows=cfg.rows_per_table, num_batches=1)
+        batch = next(iter(ds))
+        lr = 0.05
+
+        outs = {}
+        for mode in ("xla", "pallas"):
+            p, b = model.place(params, batch)
+            acc = model.init_adagrad_state(p)
+            step = model.make_sparse_adagrad_step(lr, table_update=mode)
+            p2, acc2, loss = step(p, acc, *b)
+            sgd = model.make_sparse_sgd_step(lr, table_update=mode)
+            p3, _ = sgd(*model.place(params, batch)[:1], *b)
+            outs[mode] = (np.asarray(p2["tables"]),
+                          np.asarray(acc2["tables"]),
+                          np.asarray(p3["tables"]), float(loss))
+        for a, b_ in zip(outs["xla"][:3], outs["pallas"][:3]):
+            np.testing.assert_allclose(b_, a, rtol=1e-5, atol=1e-6)
+        assert abs(outs["xla"][3] - outs["pallas"][3]) < 1e-6
+
     def test_untouched_rows_unchanged(self, mesh):
         """Rows never gathered keep both param and accumulator values."""
         cfg = tiny_cfg()
@@ -417,6 +445,93 @@ class TestSparseAdagradStep:
         np.testing.assert_array_equal(a_after[:, mask], np.float32(0.1))
         assert not np.allclose(t_after[:, 7], t_before[:, 7])
         assert (a_after[:, 7] > 0.1).all()
+
+
+class TestPackedTables:
+    """Lane-packed table storage (E/pack, 128): forward and train-step
+    parity with the default layout."""
+
+    def _setup(self, mesh, **kw):
+        cfg = tiny_cfg(rows_per_table=512, **kw)
+        plain = DlrmModel(cfg, mesh)
+        packed = DlrmModel(cfg, mesh, packed_tables=True)
+        assert packed.pack == 128 // cfg.emb_dim
+        params = init_dlrm_params(jax.random.PRNGKey(0), cfg)
+        ds = RandomDataset(batch=cfg.batch, dense_dim=cfg.dense_dim,
+                           num_tables=cfg.num_tables, nnz=cfg.nnz,
+                           num_rows=cfg.rows_per_table, num_batches=1)
+        return cfg, plain, packed, params, next(iter(ds))
+
+    def test_pack_unpack_roundtrip(self, mesh):
+        cfg, _, packed, params, _ = self._setup(mesh)
+        pp = packed.pack_params(params)
+        assert pp["tables"].shape == packed.table_storage_shape
+        back = packed.unpack_params(pp)
+        np.testing.assert_array_equal(np.asarray(back["tables"]),
+                                      np.asarray(params["tables"]))
+
+    def test_forward_parity(self, mesh):
+        cfg, plain, packed, params, (dense, idx, labels) = self._setup(mesh)
+        f_plain = plain.make_sharded_loss()
+        f_packed = packed.make_sharded_loss()
+        p1, b1 = plain.place(params, (dense, idx, labels))
+        p2, b2 = packed.place(packed.pack_params(params), (dense, idx, labels))
+        l1 = float(f_plain(p1, *b1))
+        l2 = float(f_packed(p2, *b2))
+        assert abs(l1 - l2) < 1e-6
+
+    def test_dense_train_step_parity(self, mesh):
+        cfg, plain, packed, params, batch = self._setup(mesh)
+        opt = optax.sgd(0.05)
+        outs = {}
+        for name, model in (("plain", plain), ("packed", packed)):
+            p = model.pack_params(params) if name == "packed" else params
+            p, b = model.place(p, batch)
+            st = opt.init(p)
+            step = model.make_train_step(opt)
+            p2, _, loss = step(p, st, *b)
+            tabs = np.asarray(model.unpack_params(p2)["tables"])
+            outs[name] = (tabs, float(loss))
+        np.testing.assert_allclose(outs["packed"][0], outs["plain"][0],
+                                   rtol=1e-5, atol=1e-6)
+        assert abs(outs["packed"][1] - outs["plain"][1]) < 1e-6
+
+    @pytest.mark.parametrize("table_update", ["xla", "pallas"])
+    def test_sparse_adagrad_parity(self, mesh, table_update):
+        cfg, plain, packed, params, batch = self._setup(mesh)
+        lr = 0.05
+        outs = {}
+        for name, model in (("plain", plain), ("packed", packed)):
+            mode = "xla" if name == "plain" else table_update
+            p = model.pack_params(params) if name == "packed" else params
+            p, b = model.place(p, batch)
+            acc = model.init_adagrad_state(p)
+            step = model.make_sparse_adagrad_step(lr, table_update=mode)
+            p2, acc2, loss = step(p, acc, *b)
+            outs[name] = (
+                np.asarray(model.unpack_params(p2)["tables"]),
+                np.asarray(model.unpack_params(acc2)["tables"]),
+                float(loss),
+            )
+        for a, b_ in zip(outs["plain"][:2], outs["packed"][:2]):
+            np.testing.assert_allclose(b_, a, rtol=1e-5, atol=1e-6)
+        assert abs(outs["plain"][2] - outs["packed"][2]) < 1e-6
+
+    @pytest.mark.parametrize("table_update", ["xla", "pallas"])
+    def test_sparse_sgd_parity(self, mesh, table_update):
+        cfg, plain, packed, params, batch = self._setup(mesh)
+        outs = {}
+        for name, model in (("plain", plain), ("packed", packed)):
+            mode = "xla" if name == "plain" else table_update
+            p = model.pack_params(params) if name == "packed" else params
+            p, b = model.place(p, batch)
+            step = model.make_sparse_sgd_step(0.05, table_update=mode)
+            p2, loss = step(p, *b)
+            outs[name] = (np.asarray(model.unpack_params(p2)["tables"]),
+                          float(loss))
+        np.testing.assert_allclose(outs["packed"][0], outs["plain"][0],
+                                   rtol=1e-5, atol=1e-6)
+        assert abs(outs["packed"][1] - outs["plain"][1]) < 1e-6
 
 
 class TestRaggedEdgeCases:
