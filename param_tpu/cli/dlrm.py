@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated subset of timer regions to run "
                          "(default: all)")
     ap.add_argument("--chain", type=int, default=8, help="ops per timing chain")
+    ap.add_argument("--max-chain", type=int, default=1024,
+                    help="cap on adaptive chain growth (each chain length "
+                         "compiles a fresh program)")
     ap.add_argument("--print-comms", default=None, metavar="PATH",
                     help="dump the per-step comm pattern as a basic-schema "
                          "JSON trace to PATH and exit")
@@ -101,7 +104,8 @@ def main(argv=None) -> int:
 
     regions = ns.regions.split(",") if ns.regions else None
     with profile_to(ns.profile):
-        results = bench.run(reps=ns.reps, n_hi=ns.chain, regions=regions)
+        results = bench.run(reps=ns.reps, n_hi=ns.chain, regions=regions,
+                            max_n=ns.max_chain)
     bench.report(results)
     if ns.profile:
         from param_tpu.trace.device_trace import (

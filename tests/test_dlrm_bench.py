@@ -9,7 +9,7 @@ import pytest
 from jax.sharding import Mesh
 
 from param_tpu.models.dlrm import DlrmConfig, DlrmModel
-from param_tpu.models.dlrm_bench import DlrmCommBench, REGIONS
+from param_tpu.models.dlrm_bench import REF_ROWS, REGIONS, DlrmCommBench
 
 
 @pytest.fixture(scope="module")
@@ -25,19 +25,34 @@ def bench():
 
 class TestRegions:
     def test_all_regions_timed(self, bench):
-        results = bench.run(reps=1, n_hi=3)
+        results = bench.run(reps=1, n_hi=3, max_n=6)
         for r in REGIONS:
             assert r in results, f"missing region {r}"
             assert results[r]["p50_us"] > 0
         assert "bwd_opt(derived)" in results
         assert results["_summary"]["qps"] > 0
+        # the reference's cumulative iter_* rows are derived and ordered
+        assert results["iter_data_prep"]["p50_us"] > 0
+        assert (results["iter_bwd_a2a"]["p50_us"]
+                >= results["iter_fwd_a2a"]["p50_us"]
+                >= results["iter_data_prep"]["p50_us"])
+        # comm regions carry their payload bytes (reference memory column)
+        cfg = bench.model.cfg
+        assert results["idx_xchg"]["mem_bytes"] == (
+            bench.local_batch * cfg.num_tables * cfg.nnz * 4)
+        assert results["fwd_a2a"]["mem_bytes"] > 0
 
-    def test_report_prints(self, bench, capsys):
-        results = bench.run(reps=1, n_hi=2)
+    def test_report_prints_21_reference_rows(self, bench, capsys):
+        results = bench.run(reps=1, n_hi=2, max_n=4)
         bench.report(results)
         out = capsys.readouterr().out
         assert "DLRM-RES" in out
-        assert "idx_a2a" in out
+        assert "memory(B)" in out and "sum(p50)" in out
+        # all 21 reference row names present (reportBenchTime all_timers,
+        # reference dlrm.py:1015-1036)
+        assert len(REF_ROWS) == 21
+        for ref_name, _, _ in REF_ROWS:
+            assert ref_name in out, ref_name
         assert "QPS" in out
 
 
