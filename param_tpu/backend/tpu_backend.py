@@ -322,6 +322,8 @@ class TpuBackend(Backend):
         g = args.group or self._default_group
         root = args.dst_rank
         n = g.size
+        if args.bitwidth != 32 and args.red_op == "sum":
+            return self._reduce_quant(args, g, root, n)
         key = (_group_key(g), "reduce", args.red_op, root)
         combine = {
             "sum": jnp.add,
@@ -346,6 +348,21 @@ class TpuBackend(Backend):
             return jnp.where(me == root, acc, jnp.zeros_like(acc))
 
         prog = self._cached(key, lambda: self._smap(g, body))
+        return self.track(prog(args.in_tensor))
+
+    def _reduce_quant(self, args: CollectiveArgs, g, root: int, n: int):
+        """Quantized rooted sum-reduce (reference: quantize hooks wrap
+        reduce too, pytorch_dist_backend.py:48-164) — ring chain with the
+        wire payload quantized per hop, (n-1)·size·bw/32 bytes on wire."""
+        from param_tpu.comms.quantization import quantized_ring_reduce
+
+        bw = args.bitwidth
+        key = (_group_key(g), "reduce_quant", bw, root)
+
+        def body(x):
+            return quantized_ring_reduce(x, g.axis, bw, root, n)
+
+        prog = self._cached(key, lambda: self._smap(g, body, check_vma=False))
         return self.track(prog(args.in_tensor))
 
     def all_gather(self, args: CollectiveArgs):

@@ -143,6 +143,20 @@ def main(argv=None) -> int:
         trace = backend.stop_trace_recording()
         dump_trace_file(trace, ns.trace_dump)
         print(f"recorded {len(trace)} comm ops -> {ns.trace_dump}")
+    if ns.profile and ns.bitwidth != 32:
+        # comm-vs-quant device-time split from the captured profile
+        # (reference: quant_us/dequant_us, commsQuantCollPerfMetrics)
+        from param_tpu.trace.device_trace import (
+            find_trace_file, load_chrome_trace, quant_comm_split)
+
+        events, threads = load_chrome_trace(find_trace_file(ns.profile))
+        split = quant_comm_split(events, threads, thread_filter="XLA Ops")
+        total = sum(d["total_us"] for d in split.values()) or 1.0
+        print("quantized device-time split (from profile):")
+        for k in ("comm", "quant", "dequant", "other"):
+            d = split[k]
+            print(f"  {k:>8}: {d['total_us']:>10.1f} us "
+                  f"({100 * d['total_us'] / total:5.1f}%)  n={d['count']}")
     return 0
 
 

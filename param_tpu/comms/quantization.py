@@ -44,21 +44,29 @@ def check_quant_args(collective: str, bitwidth: int) -> None:
 
 
 def quantize(x, bitwidth: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """→ (quantized values, scale).  scale is a scalar (per-tensor)."""
-    if bitwidth == 32:
-        return x, jnp.float32(1.0)
-    if bitwidth == 16:
-        return x.astype(jnp.bfloat16), jnp.float32(1.0)
-    if bitwidth == 8:
-        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-        scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
-        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
-        return q.astype(jnp.int8), scale
+    """→ (quantized values, scale).  scale is a scalar (per-tensor).
+
+    Wrapped in ``jax.named_scope("quantize")`` so the ops land in the
+    profiler's device trace under an identifiable name — the quant-vs-comm
+    device-time split (reference quant_us/dequant_us,
+    pytorch_dist_backend.py:108-164) is recovered from the trace by
+    ``trace.device_trace.quant_comm_split``."""
+    with jax.named_scope("quantize"):
+        if bitwidth == 32:
+            return x, jnp.float32(1.0)
+        if bitwidth == 16:
+            return x.astype(jnp.bfloat16), jnp.float32(1.0)
+        if bitwidth == 8:
+            absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+            q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+            return q.astype(jnp.int8), scale
     raise ValueError(f"unsupported bitwidth {bitwidth}")
 
 
 def dequantize(q, scale, dtype=jnp.float32):
-    return (q.astype(jnp.float32) * scale).astype(dtype)
+    with jax.named_scope("dequantize"):
+        return (q.astype(jnp.float32) * scale).astype(dtype)
 
 
 def quantized_all_reduce(x, axis: str, bitwidth: int):
@@ -95,6 +103,32 @@ def quantized_all_reduce(x, axis: str, bitwidth: int):
     if rem:
         out = out[:orig]
     return out
+
+
+def quantized_ring_reduce(x, axis: str, bitwidth: int, root: int, n: int):
+    """Quantized rooted sum-reduce: the ring chain of single-edge
+    ``ppermute`` hops (backend.reduce's byte-honest formulation) with the
+    WIRE payload quantized per hop (reference: the quantize hooks apply to
+    reduce as well as all_reduce, pytorch_dist_backend.py:48-164).
+
+    Each hop sends the quantized running partial (+ its f32 scale at
+    bitwidth 8); the receiver dequantizes, combines with its local f32
+    buffer, and the next hop requantizes.  Bytes on wire:
+    (n-1) · size · bitwidth/32 — honest quantized ring-reduce traffic."""
+    me = lax.axis_index(axis)
+    acc = x.astype(jnp.float32)
+    for k in range(1, n):
+        src, dst = (root + k) % n, (root + k + 1) % n
+        q, scale = quantize(acc, bitwidth)
+        recv_q = lax.ppermute(q, axis, perm=[(src, dst)])
+        if bitwidth == 8:
+            recv_scale = lax.ppermute(scale, axis, perm=[(src, dst)])
+            recv = dequantize(recv_q, recv_scale)
+        else:
+            recv = recv_q.astype(jnp.float32)
+        acc = jnp.where(me == dst, recv + x.astype(jnp.float32), acc)
+    out = jnp.where(me == root, acc, jnp.zeros_like(acc))
+    return out.astype(x.dtype)
 
 
 def quantized_cast_collective(x, bitwidth: int):

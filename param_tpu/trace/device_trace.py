@@ -147,6 +147,47 @@ def collective_bus_bw(
     return out
 
 
+def quant_comm_split(
+    events: List[dict], threads: Dict[tuple, str],
+    thread_filter: Optional[str] = None,
+) -> Dict[str, Dict]:
+    """Comm-vs-quantization device-time split for quantized collectives
+    (reference: quant_us/dequant_us in commsQuantCollPerfMetrics,
+    logger_utils.py:40-55 — there measured with dedicated CUDA events;
+    here recovered from the profiler trace).
+
+    ``quantization.quantize``/``dequantize`` run under
+    ``jax.named_scope`` so their HLO ops carry "quantize"/"dequantize" in
+    the op name/scope.  Buckets: comm (collective HLOs), quant, dequant,
+    other (everything else on the filtered lanes)."""
+    out = {k: {"count": 0, "total_us": 0.0}
+           for k in ("comm", "quant", "dequant", "other")}
+    for e in events:
+        name = e.get("name", "")
+        if name.startswith("$"):
+            continue
+        tname = threads.get((e.get("pid"), e.get("tid")), "")
+        if thread_filter and thread_filter not in tname:
+            continue
+        low = name.lower()
+        args = e.get("args", {})
+        # TPU traces carry the jax.named_scope path in args.tf_op
+        # (e.g. "jit(body)/quantize/convert:"); long_name as fallback
+        scope = (str(args.get("tf_op", "")) + str(args.get("long_name", ""))
+                 + low).lower()
+        if any(m in low for m in COLLECTIVE_MARKERS):
+            bucket = "comm"
+        elif "dequantize" in scope:
+            bucket = "dequant"
+        elif "quantize" in scope:
+            bucket = "quant"
+        else:
+            bucket = "other"
+        out[bucket]["count"] += 1
+        out[bucket]["total_us"] += float(e.get("dur", 0))
+    return out
+
+
 def print_top_ops(agg: Dict[str, Dict], top: int = 20) -> None:
     rows = sorted(agg.items(), key=lambda kv: -kv[1]["total_us"])[:top]
     print(f"{'op':<60}{'count':>8}{'total(us)':>14}{'mean(us)':>12}")

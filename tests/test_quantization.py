@@ -73,6 +73,58 @@ class TestQuantizedAllReduce:
         np.testing.assert_allclose(np.asarray(out), 1.0, atol=0.02)
 
 
+class TestQuantizedReduce:
+    """Quantized rooted reduce (reference: quantize hooks wrap reduce too,
+    pytorch_dist_backend.py:48-164)."""
+
+    @pytest.mark.parametrize("bitwidth", [16, 8])
+    def test_matches_fp32_at_root(self, backend, bitwidth):
+        x = backend.alloc_per_rank(
+            lambda r: np.full((16,), (r + 1) / 8.0, dtype=np.float32)
+        )
+        out = backend.reduce(
+            CollectiveArgs(in_tensor=x, bitwidth=bitwidth, dst_rank=2))
+        backend.complete_ops()
+        expect = sum((r + 1) / 8.0 for r in range(8))
+        per_rank = np.asarray(out).reshape(8, -1)
+        np.testing.assert_allclose(per_rank[2], expect, rtol=0.03)
+        np.testing.assert_allclose(per_rank[[r for r in range(8) if r != 2]],
+                                   0.0, atol=1e-6)
+
+    def test_nonsum_ignores_bitwidth(self, backend):
+        """max-reduce at bitwidth 8 must still run the exact rooted max."""
+        x = backend.alloc_per_rank(
+            lambda r: np.full((8,), float(r + 1), dtype=np.float32)
+        )
+        out = backend.reduce(
+            CollectiveArgs(in_tensor=x, bitwidth=8, red_op="max", dst_rank=0))
+        backend.complete_ops()
+        np.testing.assert_allclose(np.asarray(out).reshape(8, -1)[0], 8.0)
+
+
+class TestQuantCommSplit:
+    def test_buckets_from_synthetic_trace(self):
+        from param_tpu.trace.device_trace import quant_comm_split
+
+        threads = {(1, 1): "/device:TPU:0", (1, 2): "host"}
+        events = [
+            {"name": "all-reduce.1", "pid": 1, "tid": 1, "ph": "X",
+             "dur": 100.0},
+            {"name": "fusion.7", "pid": 1, "tid": 1, "ph": "X", "dur": 40.0,
+             "args": {"long_name": "jit(f)/quantize/convert"}},
+            {"name": "fusion.9", "pid": 1, "tid": 1, "ph": "X", "dur": 25.0,
+             "args": {"long_name": "jit(f)/dequantize/multiply"}},
+            {"name": "copy.2", "pid": 1, "tid": 1, "ph": "X", "dur": 5.0},
+            {"name": "host-thing", "pid": 1, "tid": 2, "ph": "X",
+             "dur": 999.0},
+        ]
+        split = quant_comm_split(events, threads, thread_filter="TPU")
+        assert split["comm"]["total_us"] == 100.0
+        assert split["quant"]["total_us"] == 40.0
+        assert split["dequant"]["total_us"] == 25.0
+        assert split["other"]["total_us"] == 5.0
+
+
 class TestInt8Inference:
     def test_close_to_fp32(self):
         params = init_mlp(jax.random.PRNGKey(0), [32, 64, 8])
