@@ -21,8 +21,17 @@ hybrid (both concurrently)      ~43     both paths occupy the TensorCore —
 HBM stream roofline            ~819     n/a for random row gather on v5e
 ===========================  =========  =====================================
 
-(Steady-state numbers from long measure_chain runs; table size and index
-locality do NOT move the rate — it is per-row issue cost, not bandwidth.)
+(Steady-state numbers from long measure_chain runs.  Refined in round 2 —
+``scripts/dedup_experiment.py``: the rate DOES depend on source size below
+~32 MB (4 MB source: 477 M rows/s; 2 MB bf16: 542 M rows/s; ≥32 MB: the
+80-95 M rows/s plateau above), and duplicate-heavy index vectors gather
+SLOWER (zipf α=1.15: 76-87 M rows/s, all-duplicates: 54 M rows/s, vs
+uniform 91 M rows/s) — hot rows serialize rather than hit a cache.  The
+SURVEY §7 dedup/sorted-gather/hot-cache reformulations all LOSE to plain
+take: every variant still pays the full B·nnz issue count somewhere, plus
+pair-sort (737 µs @262k) or bag-scatter (1.5 ms @65k) preprocessing.
+Small-source speed is another argument for table-wise sharding: per-chip
+shards below ~4 MB gather 5× faster on top of the N× row-count win.)
 
 v5e has no SparseCore, so random single-row (512 B) gathers are issue-bound,
 not bandwidth-bound.  The system-level fix — and PARAM's own DLRM design — is
