@@ -21,7 +21,7 @@ def build_parser() -> argparse.ArgumentParser:
         description="PARAM-TPU comms+compute overlap benchmark",
     )
     ap.add_argument("--collective", default="all_reduce")
-    ap.add_argument("--kernel", default="gemm", choices=["gemm", "emb_lookup"])
+    ap.add_argument("--kernel", default="gemm", choices=["gemm", "emb_lookup", "d2h", "h2d"])
     ap.add_argument("--mm-dim", type=int, default=1024)
     ap.add_argument("--num-compute", type=int, default=1,
                     help="compute kernels per iteration")

@@ -338,6 +338,10 @@ class CommsComputeBench:
                     s = s + jnp.sum(out2)
                 return s
 
+        elif kernel in ("d2h", "h2d"):
+            return self._run_host_transfer(
+                mesh, collective, kernel, size_bytes, elems, coll, x,
+                num_compute, n_hi)
         else:
             raise ValueError(f"unsupported kernel {kernel!r}")
 
@@ -390,8 +394,89 @@ class CommsComputeBench:
             )
         return out
 
+    def _run_host_transfer(
+        self, mesh, collective, kernel, size_bytes, elems, coll, x,
+        num_compute, n_hi,
+    ) -> Dict:
+        """Collective × host-transfer overlap (reference d2h/h2d memcpy
+        compute kernels, pytorch_dist_backend.py:793-857).
+
+        The 'compute' is host-link traffic: ``h2d`` pushes ``num_compute``
+        DISTINCT host buffers of ``size_bytes`` per step (device_put —
+        nothing cacheable), ``d2h`` fetches the device buffer back to a
+        numpy array.  The combined run dispatches the device-side comm
+        chain first (async), performs the host transfers while the device
+        is busy, then forces both — measuring how much host-link traffic
+        hides behind the collective.  On a remote-attached chip the
+        transfer includes the tunnel (documented; on a local host this is
+        the PCIe/DMA path the reference times)."""
+
+        def mk_comm(nn):
+            def outer(v):
+                def step(s_v, i):
+                    s, v = s_v
+                    v2 = coll(v)
+                    return (s + jnp.sum(v2.astype(jnp.float32)), v2), None
+
+                (s, _), _ = lax.scan(step, (jnp.float32(0), v), jnp.arange(nn))
+                return lax.psum(s, "rank")
+
+            return jax.jit(
+                jax.shard_map(outer, mesh=mesh, in_specs=P("rank"),
+                              out_specs=P(), check_vma=False)
+            )
+
+        mk_comm = functools.lru_cache(maxsize=None)(mk_comm)
+        rng = np.random.default_rng(1)
+        sharding = NamedSharding(mesh, P("rank"))
+        host_bufs = [
+            rng.random(elems).astype(np.float32) for _ in range(4)
+        ]
+        dev_buf = jax.device_put(host_bufs[0], sharding)
+
+        if kernel == "h2d":
+            def host_xfer(i):
+                buf = jax.device_put(host_bufs[i % len(host_bufs)], sharding)
+                return float(jnp.sum(buf))  # forces the push
+        else:
+            def host_xfer(i):
+                return float(np.asarray(dev_buf)[i % elems])  # full fetch
+
+        def xfer_chain(nn):
+            s = 0.0
+            for i in range(nn * num_compute):
+                s += host_xfer(i)
+            return s
+
+        def both_chain(nn):
+            r = mk_comm(nn)(x)      # async device dispatch
+            s = xfer_chain(nn)      # host-link traffic while device is busy
+            return float(r) + s     # force both
+
+        t_comm = measure_chain(lambda nn: mk_comm(nn)(x), n_hi=n_hi)
+        t_xfer = measure_chain(xfer_chain, n_hi=n_hi)
+        t_both = measure_chain(both_chain, n_hi=n_hi)
+        saved = t_comm + t_xfer - t_both
+        lo = min(t_comm, t_xfer)
+        eff = max(0.0, min(1.0, saved / lo)) if lo > 0 else 0.0
+        xfer_bytes = size_bytes * num_compute
+        return {
+            "collective": collective,
+            "kernel": kernel,
+            "size_bytes": size_bytes,
+            "t_comm_us": t_comm * 1e6,
+            "t_compute_us": t_xfer * 1e6,
+            "t_both_us": t_both * 1e6,
+            "overlap_efficiency": eff,
+            "bus_bw_gbs": alg_bw(size_bytes, t_both * 1e6)
+            * bus_bw_factor(collective, len(self.devices)),
+            "host_link_gbs": xfer_bytes / max(t_xfer, 1e-9) / 1e9,
+        }
+
     def report(self, r: Dict) -> None:
         extra = f" TF/s={r['tflops']:.2f}" if "tflops" in r else ""
+        if "host_link_gbs" in r:
+            extra += f" hostBW={r['host_link_gbs']:.2f} GB/s"
         print(
             f"COMMS-COMPUTE-RES {r['collective']}+{r['kernel']} "
             f"size={r['size_bytes']}B comm={r['t_comm_us']:.1f}us "

@@ -91,6 +91,27 @@ class TestCommsComputeBench:
                   emb_batch=64, emb_nnz=4, n_hi=4)
         assert r["t_both_us"] > 0
 
+    @pytest.mark.parametrize("kernel", ["h2d", "d2h"])
+    def test_host_transfer_kernels(self, kernel):
+        """d2h/h2d host-link overlap kernels (reference
+        pytorch_dist_backend.py:793-857)."""
+        b = CommsComputeBench()
+        r = b.run(collective="all_reduce", size_bytes=64 * 1024,
+                  kernel=kernel, num_compute=2, n_hi=4)
+        assert r["kernel"] == kernel
+        assert r["t_comm_us"] > 0
+        assert r["t_compute_us"] > 0
+        assert r["t_both_us"] > 0
+        assert r["host_link_gbs"] > 0
+        assert 0.0 <= r["overlap_efficiency"] <= 1.0
+
+    def test_host_transfer_report(self, capsys):
+        b = CommsComputeBench()
+        r = b.run(collective="all_reduce", size_bytes=32 * 1024,
+                  kernel="h2d", n_hi=3)
+        b.report(r)
+        assert "hostBW" in capsys.readouterr().out
+
     def test_bad_kernel(self):
         b = CommsComputeBench()
         with pytest.raises(ValueError):
