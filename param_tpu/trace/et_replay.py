@@ -182,20 +182,37 @@ class EtReplayManager:
     # ------------------------------------------------------------- analysis
     def preprocess(self) -> None:
         """Subgraph selection + liveness (reference: preprocess_graph:1344,
-        analyze_tensors:585)."""
-        nodes = [n for n in self.et.get_nodes(clean=True) if n.iteration == 0]
-        if self.mode == ReplayMode.COMM:
-            nodes = [n for n in nodes if n.is_comm()]
-        elif self.mode == ReplayMode.COMPUTE:
-            nodes = [n for n in nodes if not n.is_comm()]
-        self._nodes = nodes
+        analyze_tensors:585).
+
+        Multi-iteration traces (capture ``iterations>1``) replay EVERY
+        recorded iteration's stream in order — iterations share tensor ids
+        by design (the same compiled program re-writing the same buffers,
+        a steady-state training loop), so liveness is computed over the
+        full concatenated schedule and ``_iter_bounds`` marks where each
+        recorded iteration starts for per-iteration timing."""
+        all_nodes = self.et.get_nodes(clean=True)
+
+        def select(nodes):
+            if self.mode == ReplayMode.COMM:
+                return [n for n in nodes if n.is_comm()]
+            if self.mode == ReplayMode.COMPUTE:
+                return [n for n in nodes if not n.is_comm()]
+            return list(nodes)
+
+        schedule: List[Node] = []
+        self._iter_bounds: List[int] = []
+        for it in sorted({n.iteration for n in all_nodes} or {0}):
+            self._iter_bounds.append(len(schedule))
+            schedule.extend(select([n for n in all_nodes
+                                    if n.iteration == it]))
+        self._nodes = schedule
         self.last_use.clear()
-        for pos, n in enumerate(nodes):
+        for pos, n in enumerate(schedule):
             for tid in n.inputs:
                 if tid is not None:
                     self.last_use[tid] = pos
         for tid in self.et.out_tensors:
-            self.last_use[tid] = len(nodes)
+            self.last_use[tid] = len(schedule)
 
     def _alloc_tensor(self, tid: int, rng: np.random.Generator):
         t = self.et.tensors[tid]
@@ -479,14 +496,25 @@ class EtReplayManager:
         overhead included — use for relative comparisons)."""
         self.preprocess()
         times = []
+        iter_times: List[float] = []
+        bounds = set(self._iter_bounds[1:])  # starts of iterations > 0
         op_times: Dict[str, Dict] = {}
         for it in range(warmup + iters):
             self.registry.clear()
             self.skipped.clear()
             self.allocate_inputs()
             record_ops = per_op and it == warmup + iters - 1
+            record_iters = it == warmup + iters - 1 and len(bounds) > 0
             t0 = time.perf_counter()
+            it0 = t0
             for pos, node in enumerate(self._nodes):
+                if record_iters and pos in bounds:
+                    # recorded-iteration boundary: flush and stamp
+                    jax.block_until_ready(
+                        [v for v in self.registry.values()][-8:])
+                    now = time.perf_counter()
+                    iter_times.append(now - it0)
+                    it0 = now
                 if record_ops:
                     o0 = time.perf_counter()
                 self.run_op(pos, node)
@@ -504,7 +532,10 @@ class EtReplayManager:
             jax.block_until_ready(
                 [v for v in self.registry.values()][-8:]
             )
-            dt = time.perf_counter() - t0
+            now = time.perf_counter()
+            if record_iters:
+                iter_times.append(now - it0)
+            dt = now - t0
             if it >= warmup:
                 times.append(dt)
         total = sum(times) / max(1, len(times))
@@ -515,7 +546,10 @@ class EtReplayManager:
             "errors": dict(self.errors),
             "iter_s": total,
             "qps": len(self._nodes) / total if total else 0.0,
+            "trace_iterations": len(self._iter_bounds),
         }
+        if iter_times:
+            out["per_iteration_s"] = iter_times
         if op_times:
             out["per_op_us"] = dict(
                 sorted(op_times.items(), key=lambda kv: -kv[1]["total_us"])
