@@ -44,6 +44,8 @@ python -m param_tpu.cli.dlrm --num-tables 8 --rows 1000 --emb-dim 16 --nnz 4 \
 
 echo "== compute tier"
 python -m param_tpu.cli.compute gemm --shape 64,64,64 --chain 3 --reps 1
+python -m param_tpu.cli.cvt --layer stage0.block0.conv_proj_q \
+  --forward-only --steps 2 --max-chain 4
 python -m param_tpu.cli.compute emb --shape 1000,16,4,64 --chain 3 --reps 1
 python -m param_tpu.cli.compute linear --shape 2,32,32,32,16 --chain 3 --reps 1
 python -m param_tpu.cli.inference --shape 2,32,32,32,16 --dtype int8 --chain 3 --reps 1
