@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="explicit M,N,K (overrides --dataset)")
     g.add_argument("--dtype", default="float32")
     g.add_argument("--pallas", action="store_true", help="use the Pallas kernel")
+    g.add_argument("--compare", action="store_true",
+                   help="run BOTH the XLA and Pallas GEMM per shape, printed "
+                        "side by side (reference: cuBlas-vs-cuTlass table, "
+                        "pytorch_cutlass.py:81-101)")
     g.add_argument("--precision", default="default", choices=["default", "highest"],
                    help="'highest' forces true-f32 multiplication passes")
     g.add_argument("--chain", type=int, default=16)
@@ -80,6 +84,25 @@ def main(argv=None) -> int:
             if ns.shape
             else datasets.GEMM_DATASETS[ns.dataset]
         )
+        if ns.compare:
+            # XLA row then Pallas row per shape — the reference's
+            # blas/tlass comparison table (pytorch_cutlass.py:81-101)
+            print("-" * 64)
+            print(f"{'M':>10} {'N':>10} {'K':>10} {'path':>8} "
+                  f"{'Time(us)':>12} {'Rate(TF/s)':>12}")
+            print("-" * 64)
+            results = []
+            for shape in shapes:
+                for use_pallas, label in ((False, "xla"), (True, "pallas")):
+                    r = bench_gemm([shape], dtype=ns.dtype, n_hi=ns.chain,
+                                   reps=ns.reps, use_pallas=use_pallas,
+                                   precision=ns.precision)[0]
+                    m, n, k = shape
+                    print(f"{m:>10} {n:>10} {k:>10} {label:>8} "
+                          f"{r.lat_us:>12.1f} {r.tflops:>12.3f}")
+                    results.append(r)
+            prof.__exit__(None, None, None)
+            return 0
         results = bench_gemm(
             shapes, dtype=ns.dtype, n_hi=ns.chain, reps=ns.reps,
             use_pallas=ns.pallas, precision=ns.precision,

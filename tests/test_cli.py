@@ -69,6 +69,16 @@ class TestSmallRuns:
         assert main(["gemm", "--shape", "64,64,64", "--chain", "2",
                      "--reps", "1"]) == 0
 
+    def test_compute_gemm_compare(self, capsys):
+        """XLA-vs-Pallas comparison table (reference blas/tlass table,
+        pytorch_cutlass.py:81-101)."""
+        from param_tpu.cli.compute import main
+
+        assert main(["gemm", "--shape", "64,64,64", "--compare",
+                     "--chain", "2", "--reps", "1"]) == 0
+        out = capsys.readouterr().out
+        assert "xla" in out and "pallas" in out and "Rate(TF/s)" in out
+
 
 class TestDlrmE2E:
     def test_train_mode(self, backend, capsys):
