@@ -111,6 +111,23 @@ void pd_ragged_offsets(uint64_t seed, int64_t batch, int64_t max_nnz,
   }
 }
 
+// CSR (indices, offsets) -> dense (batch, max_nnz) bag matrix padded with
+// pad_value (the zero-pad-row id).  The hot host-side prep for ragged
+// embedding bags (reference: fbgemm takes CSR directly; the XLA path pads,
+// ops/embedding.py pad_ragged_indices).
+void pd_pad_ragged(const int32_t* indices, const int64_t* offsets,
+                   int64_t batch, int64_t max_nnz, int32_t pad_value,
+                   int32_t* out) {
+  for (int64_t b = 0; b < batch; b++) {
+    int64_t lo = offsets[b], hi = offsets[b + 1];
+    int64_t len = hi - lo;
+    if (len > max_nnz) len = max_nnz;
+    int32_t* row = out + b * max_nnz;
+    for (int64_t j = 0; j < len; j++) row[j] = indices[lo + j];
+    for (int64_t j = len; j < max_nnz; j++) row[j] = pad_value;
+  }
+}
+
 // Dense normal features via Box-Muller (float32 out).
 void pd_normal(uint64_t seed, int64_t count, float* out) {
   Rng rng(seed);

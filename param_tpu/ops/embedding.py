@@ -67,15 +67,18 @@ def pad_ragged_indices(
 ) -> Tuple[np.ndarray, int]:
     """Convert (indices, offsets) CSR bags into a dense (batch, max_nnz)
     index matrix whose padding points at row ``num_rows`` (the zero pad row).
-    Returns (dense_indices, max_nnz)."""
-    lengths = np.diff(np.append(offsets, len(indices)))
+    Returns (dense_indices, max_nnz).  Uses the native C++ packer
+    (libparamdata pd_pad_ragged) with a vectorized numpy fallback — this is
+    the per-batch host prep of the ragged pipeline, the loop the reference
+    hands to fbgemm's CSR input path."""
+    from param_tpu.utils.native import pad_ragged
+
+    full_offsets = np.append(offsets, len(indices)).astype(np.int64)
+    lengths = np.diff(full_offsets)
     batch = len(lengths)
     if max_nnz is None:
         max_nnz = int(lengths.max()) if batch else 0
-    out = np.full((batch, max_nnz), num_rows, dtype=np.int32)
-    for b in range(batch):
-        l = int(lengths[b])
-        out[b, :l] = indices[offsets[b] : offsets[b] + l]
+    out = pad_ragged(np.asarray(indices), full_offsets, max_nnz, num_rows)
     return out, max_nnz
 
 

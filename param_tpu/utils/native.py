@@ -64,6 +64,8 @@ def get_lib(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     lib.pd_zipf_sample.argtypes = [ctypes.c_void_p, u64, i64, p_i32]
     lib.pd_ragged_offsets.argtypes = [u64, i64, i64, p_i64]
     lib.pd_normal.argtypes = [u64, i64, p_f32]
+    lib.pd_pad_ragged.argtypes = [p_i32, p_i64, i64, i64,
+                                  ctypes.c_int32, p_i32]
     _lib = lib
     return _lib
 
@@ -123,6 +125,29 @@ def ragged_offsets(seed: int, batch: int, max_nnz: int) -> np.ndarray:
         return np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
     out = np.empty(batch + 1, dtype=np.int64)
     lib.pd_ragged_offsets(seed, batch, max_nnz, out)
+    return out
+
+
+def pad_ragged(indices: np.ndarray, offsets: np.ndarray, max_nnz: int,
+               pad_value: int) -> np.ndarray:
+    """CSR (indices, offsets) -> dense (batch, max_nnz) int32 bag matrix
+    padded with ``pad_value``; bags longer than max_nnz are truncated.
+    Native fast path with a vectorized numpy fallback."""
+    batch = len(offsets) - 1
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(batch * max_nnz, dtype=np.int32)
+        lib.pd_pad_ragged(indices, offsets, batch, max_nnz,
+                          pad_value, out)
+        return out.reshape(batch, max_nnz)
+    lengths = np.minimum(np.diff(offsets), max_nnz)
+    slot = np.arange(max_nnz, dtype=np.int64)
+    mask = slot[None, :] < lengths[:, None]
+    src = np.minimum(offsets[:-1, None] + slot[None, :], len(indices) - 1)
+    out = np.full((batch, max_nnz), pad_value, dtype=np.int32)
+    out[mask] = indices[src[mask]]
     return out
 
 

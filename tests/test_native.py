@@ -56,6 +56,53 @@ class TestNormal:
         assert abs(float(n.std()) - 1.0) < 0.02
 
 
+class TestPadRagged:
+    def _reference_pad(self, indices, offsets, max_nnz, pad):
+        """The original python-loop formulation, kept as the oracle."""
+        full = np.append(offsets, len(indices))
+        lengths = np.diff(full)
+        out = np.full((len(lengths), max_nnz), pad, dtype=np.int32)
+        for b, l in enumerate(lengths):
+            l = min(int(l), max_nnz)
+            out[b, :l] = indices[full[b]: full[b] + l]
+        return out
+
+    @pytest.mark.parametrize("use_native", [True, False])
+    def test_matches_loop_oracle(self, use_native, monkeypatch):
+        if use_native and not native.native_available():
+            pytest.skip("native lib not built")
+        if not use_native:
+            monkeypatch.setattr(native, "get_lib",
+                                lambda auto_build=True: None)
+        rng = np.random.default_rng(0)
+        offsets = native.ragged_offsets(1, 64, 7)
+        indices = rng.integers(0, 1000, int(offsets[-1])).astype(np.int32)
+        got = native.pad_ragged(indices, offsets, 7, 1000)
+        want = self._reference_pad(indices, offsets[:-1], 7, 1000)
+        np.testing.assert_array_equal(got, want)
+
+    def test_truncates_long_bags(self):
+        indices = np.arange(10, dtype=np.int32)
+        offsets = np.array([0, 10], dtype=np.int64)
+        got = native.pad_ragged(indices, offsets, 4, 99)
+        np.testing.assert_array_equal(got, [[0, 1, 2, 3]])
+
+    def test_empty_batch(self):
+        got = native.pad_ragged(np.empty(0, np.int32),
+                                np.zeros(1, np.int64), 4, 9)
+        assert got.shape == (0, 4)
+
+    def test_pad_ragged_indices_wrapper(self):
+        from param_tpu.ops.embedding import pad_ragged_indices
+
+        indices = np.array([5, 6, 7, 8, 9], dtype=np.int32)
+        offsets = np.array([0, 2, 2], dtype=np.int64)  # bags: [5,6], [], [7,8,9]
+        dense, mx = pad_ragged_indices(indices, offsets, num_rows=10)
+        assert mx == 3
+        np.testing.assert_array_equal(
+            dense, [[5, 6, 10], [10, 10, 10], [7, 8, 9]])
+
+
 class TestFallback:
     def test_numpy_fallback_paths(self, monkeypatch):
         monkeypatch.setattr(native, "get_lib", lambda auto_build=True: None)
