@@ -72,6 +72,58 @@ class TestRealPytorchEt:
         assert len(replay.records) >= 8  # comm ops actually executed
 
 
+class TestModernChakraSchemas:
+    """The reference's modern ET schemas (≥1.0.3, per-node PG maps —
+    reference parser: et_replay/comm/commsTraceParser.py:85-123) on the
+    REAL bundled resnet DDP traces."""
+
+    def _load(self, rel):
+        import gzip
+        with gzip.open(os.path.join(REF_INPUTS, rel)) as f:
+            return json.load(f)
+
+    def test_110_chakra_2gpu(self):
+        from param_tpu.trace.comms_trace import parse_trace
+
+        d = self._load("1.1.0-chakra.0.0.4/resnet_2gpu_et.json.gz")
+        assert d["schema"].startswith("1.1.0")
+        ops = parse_trace(d, "pytorch_et", 0, 2)
+        counts = {}
+        for o in ops:
+            counts[o.comms] = counts.get(o.comms, 0) + 1
+        # DDP resnet: PG init + param broadcasts + bucket all_reduces
+        assert counts.get("init", 0) == 1
+        assert counts.get("broadcast", 0) == 6
+        assert counts.get("all_reduce", 0) == 15
+        ars = [o for o in ops if o.comms == "all_reduce"]
+        assert all(o.in_msg_size > 0 for o in ars)
+        assert all(o.world_size == 2 for o in ars)
+
+    def test_103_chakra_1gpu(self):
+        from param_tpu.trace.comms_trace import parse_trace
+
+        d = self._load("1.0.3-chakra.0.0.4/resnet_1gpu_et.json.gz")
+        ops = parse_trace(d, "pytorch_et", 0, 1)
+        assert sum(o.comms == "all_reduce" for o in ops) == 15
+
+    def test_replay_2gpu_trace_autoshrunk_to_8(self, backend):
+        """A 2-rank production trace replays on the 8-device mesh via
+        --auto-shrink (reference: prepComms world remap,
+        commsTraceReplay.py:636-679)."""
+        from param_tpu.trace.replay import CommsReplay, ReplayParams
+
+        d = self._load("1.1.0-chakra.0.0.4/resnet_2gpu_et.json.gz")
+        params = ReplayParams(trace_type="pytorch_et", target_rank=0,
+                              auto_shrink=True, num_replays=1,
+                              num_warmup_replays=0)
+        replay = CommsReplay(backend, params)
+        replay.load(d)
+        stats = replay.dry_run_stats()
+        assert stats["all_reduce"]["count"] == 15
+        t = replay.replay_once()
+        assert t > 0
+
+
 class TestRealKineto:
     def test_plain_profiler_trace_yields_no_unitrace_ops(self, tmp_path):
         """dlrm_kineto traces are plain PyTorch profiler traces WITHOUT the
