@@ -49,6 +49,8 @@ class BenchmarkConfig:
     def __init__(self, raw: Dict[str, Any]):
         self.ops: List[OperatorConfig] = []
         for name, spec in raw.items():
+            if name.startswith("_"):  # comment/metadata keys
+                continue
             self.ops.append(
                 OperatorConfig(
                     name=name,
