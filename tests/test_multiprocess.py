@@ -61,3 +61,27 @@ class TestMultiProcess:
             losses.add(line[0].split("dlrm_loss=")[1])
         # every process computes the same global loss
         assert len(losses) == 1
+
+
+class TestDryrunScaling:
+    """The driver gate generalizes beyond n=8: all four flagship paths
+    (dense/ragged/sparse/capture->replay) compile and run at n=16."""
+
+    def test_dryrun_16_devices(self):
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=16",
+            PYTHONPATH="/root/repo",
+        )
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import __graft_entry__ as g; g.dryrun_multichip(16)"],
+            env=env, capture_output=True, text=True, timeout=560,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "capture->replay" in out.stdout and "output parity OK" in out.stdout
