@@ -155,9 +155,23 @@ def bench_emb(
             # lane-align the stored dim (4.8x gather speedup for 56-dim
             # tables, see embedding.pad_table_dim); BW is reported on the
             # USEFUL bytes
-            table_cache[tkey] = pad_table_dim(
-                jnp.asarray(rng.random((rows, dim), dtype=np.float32)).astype(dt)
-            )
+            if rows * dim * 4 > 1 << 30:
+                # big tables (emb_A: 14M/26M rows = 7-13 GB) are generated
+                # ON DEVICE — a host push of that size takes minutes on a
+                # remote-attached chip (the reference's measure_tpu has its
+                # own big-table workaround, pytorch_emb.py:72-135)
+                @jax.jit
+                def _dev_table(key):
+                    return jax.random.uniform(key, (rows, dim), jnp.float32
+                                              ).astype(dt)
+
+                table_cache[tkey] = pad_table_dim(
+                    _dev_table(jax.random.PRNGKey(rows % 7919)))
+            else:
+                table_cache[tkey] = pad_table_dim(
+                    jnp.asarray(rng.random((rows, dim), dtype=np.float32)
+                                ).astype(dt)
+                )
         table = table_cache[tkey]
         idx = jnp.asarray(
             gen_indices(rng, batch, 1, nnz, rows, distribution)[:, 0, :]
