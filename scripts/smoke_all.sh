@@ -42,6 +42,14 @@ python -m param_tpu.cli.dlrm --num-tables 8 --rows 1000 --emb-dim 16 --nnz 4 \
   --dense-dim 16 --arch-mlp-bot 32-16 --arch-mlp-top 32-1 --batch 128 \
   --train-batches 5
 
+if [ -f /root/reference/et_replay/tests/inputs/dlrm_pytorch_et.tar.gz ]; then
+  echo "== real reference production trace (PyTorch-ET)"
+  mkdir -p "$TMP/refet"
+  tar xzf /root/reference/et_replay/tests/inputs/dlrm_pytorch_et.tar.gz -C "$TMP/refet"
+  python -m param_tpu.cli.replay --trace-path "$TMP/refet/dlrm_pytorch_et/dlrm_eg_0.json" \
+    --trace-type pytorch_et --auto-shrink --dry-run
+fi
+
 echo "== compute tier"
 python -m param_tpu.cli.compute gemm --shape 64,64,64 --chain 3 --reps 1
 python -m param_tpu.cli.cvt --layer stage0.block0.conv_proj_q \
