@@ -137,7 +137,12 @@ class Backend:
         commsTraceReplay.py:684 ``size_from_trace``).  ``total_elems`` is the
         global sharded-array element count, so per-rank input is total/n."""
         per = total_elems // max(n, 1)
-        if name in ("all_gather", "all_gather_base", "gather", "incast"):
+        if name == "incast":
+            # the root receives one buffer per actual SOURCE (which may be
+            # a subset of the group), not per group member
+            n_src = len(args.src_ranks) if args.src_ranks else n - 1
+            out = per * n_src
+        elif name in ("all_gather", "all_gather_base", "gather"):
             out = per * n
         elif name == "all_gather_v":
             out = int(np.sum(args.in_split)) if args.in_split is not None else per * n

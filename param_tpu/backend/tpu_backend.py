@@ -789,6 +789,22 @@ class TpuBackend(Backend):
         run the full sweep (VERDICT r1 weak #3 / next #5)."""
         n = g.size
         if collective == "all_reduce":
+            if args.bitwidth != 32 and args.red_op == "sum":
+                # chain the QUANTIZED allreduce so graph-mode quantized
+                # sweeps time the bytes the bitwidth/32 busBW scaling
+                # claims (code review r2: the unquantized chain was timed)
+                from param_tpu.comms.quantization import quantized_all_reduce
+
+                bw = args.bitwidth
+                damp = 1.0 / n
+
+                def inner_q(x):
+                    out = quantized_all_reduce(x, g.axis, bw)
+                    return lax.pcast(
+                        (out * damp).astype(x.dtype), g.axis, to="varying"
+                    )
+
+                return inner_q
             red = self._reduce_body(args.red_op, g.axis)
             # psum output is replicated; pcast re-marks it rank-varying so
             # the scan carry type is stable; sum-reductions are damped by
@@ -798,6 +814,19 @@ class TpuBackend(Backend):
             return lambda x: lax.pcast(
                 (red(x) * damp).astype(x.dtype), g.axis, to="varying"
             )
+        if collective == "reduce" and args.bitwidth != 32 and args.red_op == "sum":
+            from param_tpu.comms.quantization import quantized_ring_reduce
+
+            root, bw = args.dst_rank, args.bitwidth
+            damp = 1.0 / n
+
+            def inner_qr(x):
+                out = quantized_ring_reduce(x, g.axis, bw, root, n)
+                # bounded carry: root folds the damped sum, non-roots keep x
+                me = lax.axis_index(g.axis)
+                return jnp.where(me == root, (out * damp).astype(x.dtype), x)
+
+            return inner_qr
         if collective == "reduce":
             root = args.dst_rank
             combine = {"sum": jnp.add, "max": jnp.maximum, "min": jnp.minimum,
@@ -948,7 +977,7 @@ class TpuBackend(Backend):
         return (
             args.red_op, args.src_rank, args.dst_rank,
             tuple(args.src_ranks or ()), tuple(args.dst_ranks or ()),
-            split,
+            split, args.bitwidth,
         )
 
     def run_coll_graph(self, collective: str, args: CollectiveArgs, n_iters: int):

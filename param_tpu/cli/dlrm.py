@@ -153,7 +153,10 @@ def train_e2e(model, cfg, ns) -> int:
         st = opt.init(params)
     t0 = time.perf_counter()
     for i, (dense, idx, labels) in enumerate(batches[:-1]):
-        _, b = model.place(jax.tree.map(np.asarray, params), (dense, idx, labels))
+        # only the batch moves host->device per step — params live on
+        # device across the loop (a full-params D2H round trip per batch
+        # costs minutes at production table sizes; code review r2)
+        b = model.place_batch((dense, idx, labels))
         if ns.optimizer == "sparse_sgd":
             params, loss = sparse_step(params, *b)
         elif ns.optimizer == "sparse_adagrad":

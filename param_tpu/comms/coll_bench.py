@@ -95,6 +95,13 @@ class CollBench(CommsBench):
             lats = measure_blocking(call, p.num_iters, p.num_warmup_iters)
             res.lat_us = [t * 1e6 for t in lats]
         elif p.mode == TimingMode.GRAPH:
+            if self.backend._trace_recorder is not None:
+                # the chain program bypasses the (wrapped) dispatch table,
+                # so --trace-dump would record nothing in graph mode (code
+                # review r2) — post one dispatch iteration per sweep point
+                # so the trace carries the sweep's op pattern
+                call()
+                self.backend.complete_ops()
             # scalar-fetch chain timing: the only mode whose numbers are
             # trustworthy on remote-attached TPUs (see timing.measure_chain)
             # a real sample for the percentiles: at least 10 reps

@@ -67,6 +67,10 @@ def pack_rows_to_lanes(rows, totals, num_rows: int, lane: int = 128):
     drop-marker convention (id >= R*D/lane).  Requires rows sorted unique
     (same-memref-row entries adjacent) and lane % D == 0."""
     N, D = totals.shape
+    if D % lane == 0:
+        # row width is already lane-aligned (D = 128, 256, ...) — no
+        # repacking needed, each table row IS >= one full memref row
+        return rows, totals, num_rows
     if lane % D:
         raise ValueError(f"lane {lane} must be a multiple of D {D} "
                          f"(pad the table dim first: ops.pad_table_dim)")
@@ -225,8 +229,9 @@ def _update_kernel(
     if adagrad:
         gval = u.astype(jnp.float32)
         a_new = acc_rows[s].astype(jnp.float32) + gval * gval
-        # exact optax scale_by_rss form: g / (sqrt(acc_new) + eps)
-        step = (-lr) * gval / (jnp.sqrt(a_new) + eps)
+        # exact optax scale_by_rss form: g * where(acc>0, rsqrt(acc+eps), 0)
+        factor = jnp.where(a_new > 0, jax.lax.rsqrt(a_new + eps), 0.0)
+        step = (-lr) * gval * factor
         tab_rows[s] = (tab_rows[s].astype(jnp.float32) + step).astype(
             tab_rows.dtype
         )
@@ -268,8 +273,8 @@ def sparse_row_update(
     - SGD mode (``acc is None``): ``tables[idx] += upd`` (pre-scale upd by
       -lr outside), returns ``tables``.
     - Adagrad mode: ``acc[idx] += upd**2;
-      tables[idx] -= lr * upd / (sqrt(acc_new) + eps)`` (exact optax
-      ``scale_by_rss`` semantics), returns ``(tables, acc)``.
+      tables[idx] -= lr * upd * where(acc_new > 0, rsqrt(acc_new + eps), 0)``
+      (exact optax ``scale_by_rss`` semantics), returns ``(tables, acc)``.
 
     ``idx`` (N,) int32 must be DUPLICATE-FREE (see
     :func:`dedup_row_updates`); ids >= R are dropped.  Donated inputs are

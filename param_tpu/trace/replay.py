@@ -207,7 +207,10 @@ class CommsReplay:
         elems = max(1, op.in_msg_size)
         if op.comms in ("all_to_all", "all_to_all_single", "all_to_allv",
                         "reduce_scatter", "reduce_scatter_base", "scatter"):
-            elems = max(n, (elems // n) * n)
+            # round UP to a multiple of n: rounding down truncated ragged
+            # a2av operands whose split sum isn't divisible by n, silently
+            # moving fewer bytes than the trace recorded (code review r2)
+            elems = max(n, -(-elems // n) * n)
         args = CollectiveArgs(
             group=g,
             in_tensor=self.backend.alloc_random((elems,), dtype, g),

@@ -105,6 +105,42 @@ class TestRunOne:
         out = backend.coll_chain("all_to_allv", args, 2)
         assert np.isfinite(float(out))
 
+    def test_quant_graph_chain_runs_quantized_allreduce(self, backend):
+        """GRAPH mode at bitwidth<32 must chain the QUANTIZED collective —
+        not time fp32 traffic and scale busBW anyway (code review r2)."""
+        b = make_bench(backend, mode=TimingMode.GRAPH)
+        g = backend.get_default_group()
+        args32 = b.prep_comm("all_reduce", 1024, g)
+        v32 = float(backend.coll_chain("all_reduce", args32, 2))
+        args8 = b.prep_comm("all_reduce", 1024, g)
+        args8.bitwidth = 8
+        v8 = float(backend.coll_chain("all_reduce", args8, 2))
+        assert np.isfinite(v8)
+        # int8 round trip of uniform-ish values: close but not identical
+        assert v8 == pytest.approx(v32, rel=0.05)
+
+    def test_quant_graph_chain_runs_quantized_reduce(self, backend):
+        b = make_bench(backend, mode=TimingMode.GRAPH)
+        g = backend.get_default_group()
+        args = b.prep_comm("reduce", 1024, g)
+        args.bitwidth = 8
+        out = backend.coll_chain("reduce", args, 2)
+        assert np.isfinite(float(out))
+
+    def test_graph_mode_trace_dump_records_ops(self, backend):
+        """--trace-dump must record the sweep's ops in GRAPH mode too (the
+        chain bypasses the wrapped dispatch table; code review r2)."""
+        b = make_bench(backend, mode=TimingMode.GRAPH,
+                       collectives=["all_reduce"])
+        b.params.dcheck = False
+        backend.start_trace_recording()
+        try:
+            b.run()
+        finally:
+            trace = backend.stop_trace_recording()
+        assert len(trace) >= 2  # one per sweep size (256..1024)
+        assert all(t["comms"] == "all_reduce" for t in trace)
+
     def test_quant_bitwidth_scales_busbw(self, backend):
         b = make_bench(backend)
         b.params.dcheck = False

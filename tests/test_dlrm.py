@@ -345,7 +345,7 @@ class TestSparseSgdStep:
 
 
 class TestSparseAdagradStep:
-    def _run_parity(self, mesh, cfg):
+    def _run_parity(self, mesh, cfg, acc0=0.1):
         """Sparse-row adagrad must match a dense optax.adagrad step exactly
         (duplicates are segment-summed per row BEFORE squaring, so the
         accumulator sees the total per-row gradient like the dense path)."""
@@ -355,7 +355,7 @@ class TestSparseAdagradStep:
                            num_tables=cfg.num_tables, nnz=cfg.nnz,
                            num_rows=cfg.rows_per_table, num_batches=1)
         batch = next(iter(ds))
-        lr, eps, acc0 = 0.05, 1e-7, 0.1
+        lr, eps = 0.05, 1e-7
 
         p_dense, b = model.place(params, batch)
         opt = optax.adagrad(lr, initial_accumulator_value=acc0, eps=eps)
@@ -393,6 +393,38 @@ class TestSparseAdagradStep:
         """40-row tables with 256 lookups per table — most rows repeat many
         times, exercising the sum-before-square segment path."""
         self._run_parity(mesh, tiny_cfg(rows_per_table=40))
+
+    def test_matches_dense_adagrad_zero_accumulator(self, mesh):
+        """initial_accumulator=0 pins the optax eps placement: the update
+        factor is where(acc>0, rsqrt(acc+eps), 0), NOT 1/(sqrt(acc)+eps) —
+        at acc0=0 and small first gradients the two diverge 3x+ (code
+        review r2 finding)."""
+        self._run_parity(mesh, tiny_cfg(), acc0=0.0)
+
+    def test_pallas_update_wide_rows(self, mesh):
+        """emb_dim=256 (a multiple of 128 > 128): pack_rows_to_lanes must
+        pass through instead of raising 'lane 128 must be a multiple of
+        D 256' (code review r2 finding); pallas and xla updates agree."""
+        cfg = tiny_cfg(emb_dim=256, bot_mlp=[32, 256], rows_per_table=64,
+                       batch=32)
+        model = DlrmModel(cfg, mesh)
+        params = init_dlrm_params(jax.random.PRNGKey(0), cfg)
+        ds = RandomDataset(batch=cfg.batch, dense_dim=cfg.dense_dim,
+                           num_tables=cfg.num_tables, nnz=cfg.nnz,
+                           num_rows=cfg.rows_per_table, num_batches=1)
+        batch = next(iter(ds))
+        outs = {}
+        for mode in ("xla", "pallas"):
+            p, b = model.place(params, batch)
+            acc = model.init_adagrad_state(p)
+            step = model.make_sparse_adagrad_step(0.05, table_update=mode)
+            p2, acc2, loss = step(p, acc, *b)
+            outs[mode] = (np.asarray(p2["tables"]),
+                          np.asarray(acc2["tables"]), float(loss))
+        np.testing.assert_allclose(outs["pallas"][0], outs["xla"][0],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(outs["pallas"][1], outs["xla"][1],
+                                   rtol=1e-5, atol=1e-6)
 
     def test_pallas_table_update_matches_xla(self, mesh):
         """The Pallas in-place row-update kernel (interpret mode on CPU)
