@@ -276,6 +276,24 @@ class TestRecordingConvention:
         assert ag["in_msg_size"] == 16 and ag["out_msg_size"] == 16 * 8
         assert rs["in_msg_size"] == 64 and rs["out_msg_size"] == 8
 
+    def test_incast_partial_sources_out_size(self, backend):
+        """incast with a source SUBSET records out_msg_size = per * n_src,
+        not per * group_size (code review r2: the root receives one buffer
+        per actual sender)."""
+        from param_tpu.backend.base import CollectiveArgs
+
+        backend.start_trace_recording()
+        x = backend.alloc_per_rank(
+            lambda r: np.full((32,), r + 1, dtype=np.float32)
+        )
+        backend.collective_fn["incast"](
+            CollectiveArgs(in_tensor=x, dst_rank=0, src_ranks=[1, 2])
+        )
+        backend.complete_ops()
+        trace = backend.stop_trace_recording()
+        assert trace[0]["in_msg_size"] == 32
+        assert trace[0]["out_msg_size"] == 32 * 2
+
     def test_record_replay_same_traffic(self, backend):
         """A recorded all_reduce replays with the ORIGINAL per-rank traffic
         (previously world_size× inflated)."""
