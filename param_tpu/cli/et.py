@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--config", default=None, help="skip-node replay config JSON")
     r.add_argument("--inputs", default=None,
                    help=".npz with tensor-id -> array input overrides")
+    r.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the replay into "
+                        "DIR (the reference's kineto-profiled replay, "
+                        "et_replay.py:1528-1620)")
     r.add_argument("--per-op", action="store_true",
                    help="record blocking per-op latencies on the last "
                         "iteration")
@@ -144,7 +148,10 @@ def main(argv=None) -> int:
         config=config,
         inputs_file=ns.inputs,
     )
-    out = mgr.replay(iters=ns.iters, warmup=ns.warmup, per_op=ns.per_op)
+    from param_tpu.utils.profiler import profile_to
+
+    with profile_to(ns.profile):
+        out = mgr.replay(iters=ns.iters, warmup=ns.warmup, per_op=ns.per_op)
     print(json.dumps(out, indent=2))
     if ns.update_config:
         mgr.config.save(ns.update_config)

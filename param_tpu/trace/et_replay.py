@@ -548,6 +548,15 @@ class EtReplayManager:
             "qps": len(self._nodes) / total if total else 0.0,
             "trace_iterations": len(self._iter_bounds),
         }
+        # per-replay device-memory snapshot (the reference's per-op memory
+        # profile role, et_replay.py:1528-1620 profile_memory=True)
+        stats = jax.local_devices()[0].memory_stats()
+        if stats:
+            out["device_memory"] = {
+                k: stats[k]
+                for k in ("bytes_in_use", "peak_bytes_in_use")
+                if k in stats
+            }
         if iter_times:
             out["per_iteration_s"] = iter_times
         if op_times:
