@@ -71,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--trace-dump", default=None, metavar="PATH",
                     help="record every collective as a basic-schema comm "
                          "trace (replayable with cli.replay)")
+    ap.add_argument("--trace-dump-et", default=None, metavar="PATH",
+                    help="additionally export the recorded trace in the "
+                         "PyTorch-ET (Chakra host ET) schema so PyTorch-"
+                         "world trace tooling can consume it "
+                         "(trace/export_pytorch_et.py)")
     ap.add_argument("--output-json", default=None, metavar="PATH",
                     help="append metric records as JSON lines (perf-logger "
                          "sink; reference register_perf_logger)")
@@ -121,7 +126,7 @@ def main(argv=None) -> int:
 
         register_perf_logger("file", FileJsonLogger(ns.output_json))
 
-    if ns.trace_dump:
+    if ns.trace_dump or ns.trace_dump_et:
         backend.start_trace_recording()
     if ns.size_start_profiler and ns.profile:
         from param_tpu.utils.profiler import SizeTriggeredProfiler
@@ -137,12 +142,20 @@ def main(argv=None) -> int:
     else:
         with profile_to(ns.profile):
             bench.run()
-    if ns.trace_dump:
-        from param_tpu.trace.comms_trace import dump_trace_file
-
+    if ns.trace_dump or ns.trace_dump_et:
         trace = backend.stop_trace_recording()
-        dump_trace_file(trace, ns.trace_dump)
-        print(f"recorded {len(trace)} comm ops -> {ns.trace_dump}")
+        if ns.trace_dump:
+            from param_tpu.trace.comms_trace import dump_trace_file
+
+            dump_trace_file(trace, ns.trace_dump)
+            print(f"recorded {len(trace)} comm ops -> {ns.trace_dump}")
+        if ns.trace_dump_et:
+            from param_tpu.trace.export_pytorch_et import dump_pytorch_et_file
+
+            dump_pytorch_et_file(trace, backend.get_world_size(),
+                                 ns.trace_dump_et)
+            print(f"exported {len(trace)} comm ops as PyTorch-ET -> "
+                  f"{ns.trace_dump_et}")
     if ns.profile and ns.bitwidth != 32:
         # comm-vs-quant device-time split from the captured profile
         # (reference: quant_us/dequant_us, commsQuantCollPerfMetrics)
