@@ -156,6 +156,11 @@ class Backend:
             out = per
         return per, out
 
+    def is_recording(self) -> bool:
+        """True while start_trace_recording is active (public accessor —
+        bench code keys on this, not the private recorder field)."""
+        return self._trace_recorder is not None
+
     def start_trace_recording(self) -> None:
         """Record every collective call as a basic-schema trace element
         (the capture side of the comms-trace loop; the reference records

@@ -95,7 +95,7 @@ class CollBench(CommsBench):
             lats = measure_blocking(call, p.num_iters, p.num_warmup_iters)
             res.lat_us = [t * 1e6 for t in lats]
         elif p.mode == TimingMode.GRAPH:
-            if self.backend._trace_recorder is not None:
+            if self.backend.is_recording():
                 # the chain program bypasses the (wrapped) dispatch table,
                 # so --trace-dump would record nothing in graph mode (code
                 # review r2) — post one dispatch iteration per sweep point

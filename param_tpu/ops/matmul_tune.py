@@ -26,7 +26,7 @@ from typing import List, Optional, Sequence, Tuple
 from param_tpu.utils.chip import ChipSpec, detect_chip, matmul_roofline_tflops
 
 # MXU-friendly block extents (multiples of the 128-lane register tiling)
-_EXTENTS = (256, 512, 1024, 2048, 4096)
+_EXTENTS = (128, 256, 512, 1024, 2048, 4096)
 
 
 @dataclass(frozen=True)
@@ -80,31 +80,40 @@ def candidate_blocks(
     finalists get measured)."""
     chip = chip or detect_chip()
     budget = int(min(vmem_limit_mb, chip.vmem_mb) * 2**20)
-    cands = []
-    for bm in _EXTENTS:
-        if bm > m:
-            continue
-        for bn in _EXTENTS:
-            if bn > n:
-                continue
-            for bk in _EXTENTS:
-                if bk > k:
-                    continue
-                if m % bm or n % bn or k % bk:
-                    continue
-                if vmem_bytes(bm, bn, bk, dtsize) > budget:
-                    continue
-                # the Mosaic pipeline needs grid steps to overlap DMA with
-                # compute — giant blocks with <8 steps can't double-buffer
-                if (m // bm) * (n // bn) * (k // bk) < 8:
-                    continue
-                cands.append(
-                    BlockCandidate(
-                        bm, bn, bk,
-                        estimate_matmul_time_us(m, n, k, bm, bn, bk,
-                                                dtsize, chip),
+
+    def extents(dim):
+        # feasible per-axis blocks: standard extents clipped to the dim,
+        # plus the dim itself when it's lane-friendly (covers shapes
+        # smaller than 128 or indivisible by the standard extents)
+        es = [e for e in _EXTENTS if e <= dim and dim % e == 0]
+        if not es:
+            es = [dim]
+        return es
+
+    def build(min_grid_steps):
+        out = []
+        for bm in extents(m):
+            for bn in extents(n):
+                for bk in extents(k):
+                    if vmem_bytes(bm, bn, bk, dtsize) > budget:
+                        continue
+                    # the Mosaic pipeline needs grid steps to overlap DMA
+                    # with compute — giant blocks can't double-buffer
+                    steps = (m // bm) * (n // bn) * (k // bk)
+                    if steps < min_grid_steps:
+                        continue
+                    out.append(
+                        BlockCandidate(
+                            bm, bn, bk,
+                            estimate_matmul_time_us(m, n, k, bm, bn, bk,
+                                                    dtsize, chip),
+                        )
                     )
-                )
+        return out
+
+    cands = build(8)
+    if not cands:  # small shapes: any feasible grid beats none
+        cands = build(1)
 
     def reloads(c):
         return (m * k) * -(-n // c.bn) + (k * n) * -(-m // c.bm)

@@ -32,6 +32,15 @@ from jax.experimental.pallas import tpu as pltpu
 _UNROLL = 8
 
 
+def adagrad_factor(acc_new, eps: float):
+    """The optax ``scale_by_rss`` update factor:
+    ``where(acc > 0, rsqrt(acc + eps), 0)`` — eps inside the sqrt plus the
+    zero-accumulator gate.  Single source of truth for every sparse/dense
+    adagrad site (dlrm steps + the Pallas kernel); plain jnp so it works
+    inside kernels."""
+    return jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
+
+
 def dedup_row_updates(flat_idx, rows_g, drop_marker: int):
     """Collapse duplicate row ids: sort + run detection + segment-sum.
 
@@ -229,9 +238,8 @@ def _update_kernel(
     if adagrad:
         gval = u.astype(jnp.float32)
         a_new = acc_rows[s].astype(jnp.float32) + gval * gval
-        # exact optax scale_by_rss form: g * where(acc>0, rsqrt(acc+eps), 0)
-        factor = jnp.where(a_new > 0, jax.lax.rsqrt(a_new + eps), 0.0)
-        step = (-lr) * gval * factor
+        # exact optax scale_by_rss form (single source: adagrad_factor)
+        step = (-lr) * gval * adagrad_factor(a_new, eps)
         tab_rows[s] = (tab_rows[s].astype(jnp.float32) + step).astype(
             tab_rows.dtype
         )

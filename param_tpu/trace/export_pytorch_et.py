@@ -46,10 +46,20 @@ def _local_rank(op: CommsOp, rank: int) -> int:
     return rank
 
 
+def _export_name(op: CommsOp, target_rank: int) -> str:
+    """Collective name as written: generic ``pt2pt`` ops become the
+    directional send/recv the PyTorch schema records (from
+    ``target_rank``'s perspective)."""
+    name = op.comms or ""
+    if name == "pt2pt":
+        return "send" if target_rank == op.src_rank else "recv"
+    return name
+
+
 def _recorded_rank(op: CommsOp, target_rank: int) -> int:
     """The rank field the parser reads at inputs[name_idx-1]: the p2p PEER
     (pg-local) for send/recv, the ROOT for rooted collectives, else 0."""
-    name = op.comms or ""
+    name = _export_name(op, target_rank)
     if name in P2P_OPS:
         peer = op.dst_rank if "send" in name else op.src_rank
         return _local_rank(op, peer)
@@ -122,7 +132,7 @@ def export_pytorch_et(
 
     nid = 3
     for op in ops:
-        name = op.comms
+        name = _export_name(op, target_rank)
         pg_id = int(op.pg_id) if op.pg_id is not None else 0
         attrs = [
             {"name": "collective_name", "type": "string", "value": name},

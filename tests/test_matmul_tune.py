@@ -61,6 +61,21 @@ class TestCandidates:
         ests = [c.est_us for c in cands]
         assert ests == sorted(ests)
 
+    @pytest.mark.parametrize("shape", [
+        (256, 256, 256),      # grid too small for the >=8-steps filter
+        (1024, 128, 1024),    # dim below the old minimum extent
+        (1920, 1920, 1920),   # indivisible by 256-multiples (128 works)
+        (100, 100, 100),      # smaller than any standard extent
+    ])
+    def test_never_empty_for_valid_shapes(self, shape):
+        """Shapes matmul_pallas handles must always yield candidates (code
+        review r2: the tuner previously raised 'no feasible blocks')."""
+        m, n, k = shape
+        cands = candidate_blocks(m, n, k, dtsize=2, chip=V5E)
+        assert cands
+        for c in cands:
+            assert m % c.bm == 0 and n % c.bn == 0 and k % c.bk == 0
+
     def test_bigger_vmem_admits_bigger_blocks(self):
         small = candidate_blocks(4096, 4096, 4096, 2, V5E,
                                  vmem_limit_mb=16, top=50)

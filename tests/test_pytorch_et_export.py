@@ -93,6 +93,22 @@ class TestRoundTrip:
         t = replay.replay_once()
         assert t > 0
 
+    def test_generic_pt2pt_mapping(self):
+        """The backend recorder emits generic 'pt2pt' ops — export writes
+        them as directional send/recv so peers survive (code review r2)."""
+        ops = [CommsOp(id=0, comms="pt2pt", in_msg_size=16, out_msg_size=16,
+                       src_rank=2, dst_rank=5)]
+        # as the sender
+        data = export_pytorch_et(ops, world_size=8, target_rank=2)
+        back = [o for o in comms_from_pytorch_et(data, 2, 8)
+                if o.comms != "init"]
+        assert back[0].src_rank == 2 and back[0].dst_rank == 5
+        # as the receiver
+        data = export_pytorch_et(ops, world_size=8, target_rank=5)
+        back = [o for o in comms_from_pytorch_et(data, 5, 8)
+                if o.comms != "init"]
+        assert back[0].src_rank == 2 and back[0].dst_rank == 5
+
     def test_p2p_peer_mapping(self):
         ops = [CommsOp(id=0, comms="send", in_msg_size=16, out_msg_size=16,
                        dst_rank=3)]
