@@ -124,6 +124,48 @@ class TestModernChakraSchemas:
         assert t > 0
 
 
+class TestAllBundledFixtures:
+    def test_every_reference_trace_parses(self, tmp_path):
+        """Robustness sweep: EVERY trace the reference repo bundles (all
+        schemas, all workloads incl. GPT2/pt2/linear) parses without
+        raising; single-GPU traces yield zero comm ops, DDP resnets yield
+        the broadcast+all_reduce pattern on every rank."""
+        import glob
+        import gzip
+        import tarfile
+
+        from param_tpu.trace.comms_trace import parse_trace
+
+        files = []
+        for f in os.listdir(REF_INPUTS):
+            p = os.path.join(REF_INPUTS, f)
+            if f.endswith(".tar.gz"):
+                with tarfile.open(p) as t:
+                    t.extractall(tmp_path, filter="data")
+            elif f.endswith(".json.gz"):
+                files.append(p)
+        files += glob.glob(str(tmp_path) + "/**/*.json", recursive=True)
+        files += glob.glob(REF_INPUTS + "/*/*.json.gz")
+        assert len(files) >= 15
+        parsed = 0
+        for p in sorted(files):
+            opener = gzip.open if p.endswith(".gz") else open
+            with opener(p, "rt") as f:
+                d = json.load(f)
+            kind = "kineto" if "traceEvents" in d else "pytorch_et"
+            ops = parse_trace(d, kind, 0, 8)  # must not raise
+            parsed += 1
+            name = os.path.basename(p)
+            if "resnet" in name and "1gpu" not in name and kind != "kineto":
+                counts = {}
+                for o in ops:
+                    counts[o.comms] = counts.get(o.comms, 0) + 1
+                assert counts.get("all_reduce") == 15, (name, counts)
+            if "GPT2" in name or "pt2_et" in name or "linear" in name:
+                assert ops == [], name  # single-GPU: no comm stream
+        assert parsed >= 15
+
+
 class TestRealKineto:
     def test_plain_profiler_trace_yields_no_unitrace_ops(self, tmp_path):
         """dlrm_kineto traces are plain PyTorch profiler traces WITHOUT the
