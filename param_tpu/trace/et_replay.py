@@ -579,6 +579,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from jax import lax
+from jax.sharding import Mesh
 
 
 def _registry():
@@ -608,6 +609,16 @@ def _dec(v):
             return np.dtype(v["__dtype__"])
         if "__tuple__" in v:
             return tuple(_dec(x) for x in v["__tuple__"])
+        if "__pspec__" in v:
+            from jax.sharding import PartitionSpec
+
+            return PartitionSpec(*[
+                tuple(e) if isinstance(e, list) else e for e in v["__pspec__"]
+            ])
+        if "__frozenset__" in v:
+            return frozenset(_dec(x) for x in v["__frozenset__"])
+        if "__mesh__" in v:
+            return dict(v)
         if "__enum__" in v:
             cls = getattr(lax, v["__enum__"], None)
             return cls[v["value"]] if cls is not None else v["value"]
@@ -650,9 +661,102 @@ def T(shape, dtype):
 '''
 
 
+def _emit_op(node, et, lines, emitted, indent: str = "") -> None:
+    """Emit one flat op line (shared by the top level and scope bodies).
+    ``emitted`` tracks names defined in the current namespace; unknown
+    inputs are materialized with T()."""
+    literals = node.params.get("__literals__", {})
+    args = []
+    for pos, tid in enumerate(node.inputs):
+        if tid is not None:
+            if tid not in emitted:
+                t = et.tensors[tid]
+                lines.append(
+                    f"{indent}t{tid} = T({tuple(t.shape)}, {t.dtype!r})")
+                emitted.add(tid)
+            args.append(f"t{tid}")
+        elif str(pos) in literals:
+            lit = literals[str(pos)]
+            args.append(f"jnp.asarray({lit['v']!r}, dtype={lit['dtype']!r})")
+        else:
+            args.append("jnp.zeros(())")
+    # repr (not JSON) so None/True render as Python literals
+    params_py = repr(
+        {k: v for k, v in node.params.items() if k != "__literals__"}
+    )
+    outs = [f"t{tid}" for tid in node.outputs if tid is not None]
+    target = ", ".join(outs) if outs else "_"
+    arg_str = ", ".join(args)
+    sep = ", " if args else ""
+    call = f'REG[{node.name!r}].bind({arg_str}{sep}**P({params_py}))'
+    lines.append(f"{indent}{target} = {call}")
+    emitted.update(t for t in node.outputs if t is not None)
+
+
+def _emit_shard_map(node, et, lines, emitted) -> None:
+    """Emit a captured shard_map scope as a real jax.shard_map call: a
+    body function replaying the scope's label children over a live mesh
+    (the codegen face of the SPMD-scope replay; nested scan children fall
+    back to T() placeholders)."""
+    scope = node.params["__scopes__"][0]
+    arg_ids = list(scope["const"]) + list(scope["in"])
+    fname = f"scope_{node.id}"
+    params_py = repr({
+        k: v for k, v in node.params.items()
+        if k in ("in_specs", "out_specs", "mesh")
+    })
+    # materialize undefined global inputs first
+    for tid in node.inputs:
+        if tid is not None and tid not in emitted:
+            t = et.tensors[tid]
+            lines.append(f"t{tid} = T({tuple(t.shape)}, {t.dtype!r})")
+            emitted.add(tid)
+    arg_names = ", ".join(f"t{t}" for t in arg_ids)
+    lines.append(f"def {fname}({arg_names}):")
+    inner: set = set(arg_ids)
+    # scope consts captured at trace time
+    for tid, lit in node.params.get("__scope_consts__", {}).items():
+        lines.append(
+            f"    t{tid} = jnp.asarray({lit['v']!r}, dtype={lit['dtype']!r})")
+        inner.add(int(tid))
+    for child in sorted(node.children, key=lambda c: c.id):
+        if child.params.get("__scopes__") or child.params.get("opaque"):
+            for tid in child.outputs:
+                if tid is not None and tid not in inner:
+                    t = et.tensors[tid]
+                    lines.append(
+                        f"    t{tid} = T({tuple(t.shape)}, {t.dtype!r})"
+                        f"  # nested {child.name} (placeholder)")
+                    inner.add(tid)
+            continue
+        _emit_op(child, et, lines, inner, indent="    ")
+    rets = ", ".join(
+        f"t{t}" if t is not None else "jnp.zeros(())" for t in scope["out"]
+    )
+    lines.append(f"    return ({rets},)" if len(scope["out"]) == 1
+                 else f"    return ({rets})")
+    lines.append(f"_p = P({params_py})")
+    lines.append("_names = tuple(_p['mesh']['__mesh__']['axis_names'])")
+    lines.append("_mesh = Mesh(np.array(jax.devices()), _names)")
+    outs = [f"t{tid}" for tid in node.outputs if tid is not None]
+    # the emitted body returns a TUPLE — single outputs need tuple unpack
+    target = (outs[0] + ",") if len(outs) == 1 else (
+        ", ".join(outs) if outs else "_")
+    call_args = ", ".join(
+        f"t{t}" if t is not None else "jnp.zeros(())" for t in node.inputs
+    )
+    lines.append(
+        f"{target} = jax.shard_map({fname}, mesh=_mesh, "
+        f"in_specs=tuple(_p['in_specs']), out_specs=tuple(_p['out_specs']), "
+        f"check_vma=False)({call_args})"
+    )
+    emitted.update(t for t in node.outputs if t is not None)
+
+
 def generate_code(et: ExecutionTrace) -> str:
     """Emit a standalone Python replay script — the reference's
-    code-generator mode (et_replay.py -g)."""
+    code-generator mode (et_replay.py -g).  shard_map scopes are emitted
+    as real jax.shard_map calls over their captured bodies."""
     lines = [_CODEGEN_HEADER]
     lines.append("# ---- inputs " + "-" * 50)
     emitted = set()
@@ -666,6 +770,9 @@ def generate_code(et: ExecutionTrace) -> str:
         if node.iteration != 0:
             break
         if node.params.get("opaque"):
+            if node.name == "shard_map" and node.params.get("__scopes__"):
+                _emit_shard_map(node, et, lines, emitted)
+                continue
             for tid in node.outputs:
                 if tid is not None and tid not in emitted:
                     t = et.tensors[tid]
@@ -675,33 +782,7 @@ def generate_code(et: ExecutionTrace) -> str:
                     )
                     emitted.add(tid)
             continue
-        literals = node.params.get("__literals__", {})
-        args = []
-        for pos, tid in enumerate(node.inputs):
-            if tid is not None:
-                if tid not in emitted:
-                    t = et.tensors[tid]
-                    lines.append(f"t{tid} = T({tuple(t.shape)}, {t.dtype!r})")
-                    emitted.add(tid)
-                args.append(f"t{tid}")
-            elif str(pos) in literals:
-                lit = literals[str(pos)]
-                args.append(
-                    f"jnp.asarray({lit['v']!r}, dtype={lit['dtype']!r})"
-                )
-            else:
-                args.append("jnp.zeros(())")
-        # repr (not JSON) so None/True render as Python literals
-        params_py = repr(
-            {k: v for k, v in node.params.items() if k != "__literals__"}
-        )
-        outs = [f"t{tid}" for tid in node.outputs if tid is not None]
-        target = ", ".join(outs) if outs else "_"
-        arg_str = ", ".join(args)
-        sep = ", " if args else ""
-        call = f'REG[{node.name!r}].bind({arg_str}{sep}**P({params_py}))'
-        lines.append(f"{target} = {call}")
-        emitted.update(t for t in node.outputs if t is not None)
+        _emit_op(node, et, lines, emitted)
     lines.append("")
     out_names = [f"t{t}" for t in et.out_tensors if t in emitted]
     lines.append(f"jax.block_until_ready([{', '.join(out_names)}])")
