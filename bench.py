@@ -16,7 +16,39 @@ import json
 import sys
 
 
+def _tpu_relay_reachable() -> bool:
+    """Fast-fail probe: when the chip is attached through the axon relay,
+    a dead relay makes ``jax.devices()`` hang FOREVER (observed; see
+    CLAUDE.md).  Probe the relay ports with a short timeout first so the
+    driver gets an honest error line instead of a hung process."""
+    import os
+    import socket
+
+    env = os.environ.get("JAX_PLATFORMS", "")
+    axon = "axon" in env or (
+        not env and ".axon_site" in os.environ.get("PYTHONPATH", "")
+    )
+    if not axon:
+        return True
+    for port in (8103, 8102, 8107):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=3):
+                return True
+        except OSError:
+            continue
+    return False
+
+
 def main() -> int:
+    if not _tpu_relay_reachable():
+        print(json.dumps({
+            "metric": "emb_lookup_bw_1Mx128_b8192_nnz30", "value": 0.0,
+            "unit": "GB/s", "vs_baseline": 0.0,
+            "error": "axon relay unreachable (jax.devices() would hang); "
+                     "last on-chip validation: 40.84 GB/s / 1.477x "
+                     "(RESULTS.md, 2026-08-17)",
+        }))
+        return 1
     import jax
     import jax.numpy as jnp
     import numpy as np
