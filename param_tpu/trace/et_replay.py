@@ -693,24 +693,109 @@ def _emit_op(node, et, lines, emitted, indent: str = "") -> None:
     emitted.update(t for t in node.outputs if t is not None)
 
 
+def _emit_scope_children(node, et, lines, inner, indent: str) -> None:
+    """Emit a scope's label children into the current namespace; nested
+    scan scopes recurse, other opaque children keep T() placeholders."""
+    for child in sorted(node.children, key=lambda c: c.id):
+        if child.name == "scan" and child.params.get("__scopes__"):
+            _emit_scan(child, et, lines, inner, indent)
+            continue
+        if child.params.get("__scopes__") or child.params.get("opaque"):
+            for tid in child.outputs:
+                if tid is not None and tid not in inner:
+                    t = et.tensors[tid]
+                    lines.append(
+                        f"{indent}t{tid} = T({tuple(t.shape)}, {t.dtype!r})"
+                        f"  # nested {child.name} (placeholder)")
+                    inner.add(tid)
+            continue
+        _emit_op(child, et, lines, inner, indent=indent)
+
+
+def _emit_scope_prologue(node, et, lines, emitted, indent: str):
+    """Materialize undefined global inputs and the scope's embedded
+    consts; returns (arg_ids, inner-namespace set, input arg exprs)."""
+    scope = node.params["__scopes__"][0]
+    arg_ids = list(scope["const"]) + list(scope["in"])
+    literals = node.params.get("__literals__", {})
+    in_exprs = []
+    for pos, tid in enumerate(node.inputs):
+        if tid is not None:
+            if tid not in emitted:
+                t = et.tensors[tid]
+                lines.append(
+                    f"{indent}t{tid} = T({tuple(t.shape)}, {t.dtype!r})")
+                emitted.add(tid)
+            in_exprs.append(f"t{tid}")
+        elif str(pos) in literals:
+            lit = literals[str(pos)]
+            in_exprs.append(
+                f"jnp.asarray({lit['v']!r}, dtype={lit['dtype']!r})")
+        else:
+            in_exprs.append("jnp.zeros(())")
+    return scope, arg_ids, in_exprs
+
+
+def _emit_scan(node, et, lines, emitted, indent: str = "") -> None:
+    """Emit a captured scan scope as a real lax.scan call over a body
+    function replaying the scope's label children (mirrors
+    EtReplayManager._bind_scan)."""
+    scope, arg_ids, in_exprs = _emit_scope_prologue(
+        node, et, lines, emitted, indent)
+    p = node.params
+    nc = int(p.get("num_consts", 0))
+    ncar = int(p.get("num_carry", 0))
+    length = p.get("length")
+    reverse = bool(p.get("reverse", False))
+    nid = node.id
+    fname = f"scanbody_{nid}"
+    body_args = ", ".join(f"t{t}" for t in arg_ids)
+    lines.append(f"{indent}def {fname}({body_args}):")
+    inner: set = set(arg_ids)
+    for tid, lit in p.get("__scope_consts__", {}).items():
+        lines.append(f"{indent}    t{tid} = "
+                     f"jnp.asarray({lit['v']!r}, dtype={lit['dtype']!r})")
+        inner.add(int(tid))
+    _emit_scope_children(node, et, lines, inner, indent + "    ")
+    rets = ", ".join(
+        f"t{t}" if t is not None else "jnp.zeros(())" for t in scope["out"])
+    tail = "," if len(scope["out"]) == 1 else ""
+    lines.append(f"{indent}    return ({rets}{tail})")
+    consts = in_exprs[:nc]
+    carries = in_exprs[nc:nc + ncar]
+    xs = in_exprs[nc + ncar:]
+    const_str = (", ".join(consts) + ", ") if consts else ""
+    lines.append(f"{indent}def scanstep_{nid}(_c, _x):")
+    lines.append(f"{indent}    _o = {fname}({const_str}*_c, "
+                 f"*(_x if _x is not None else ()))")
+    lines.append(f"{indent}    return tuple(_o[:{ncar}]), tuple(_o[{ncar}:])")
+    carry_t = "(" + ", ".join(carries) + ("," if len(carries) == 1 else "") + ")"
+    xs_t = ("(" + ", ".join(xs) + ("," if len(xs) == 1 else "") + ")"
+            if xs else "None")
+    lines.append(
+        f"{indent}_co_{nid}, _ys_{nid} = lax.scan(scanstep_{nid}, {carry_t}, "
+        f"{xs_t}, length={length!r}, reverse={reverse!r})")
+    for i, tid in enumerate(node.outputs):
+        if tid is None:
+            continue
+        src = (f"_co_{nid}[{i}]" if i < ncar
+               else f"_ys_{nid}[{i - ncar}]")
+        lines.append(f"{indent}t{tid} = {src}")
+        emitted.add(tid)
+
+
 def _emit_shard_map(node, et, lines, emitted) -> None:
     """Emit a captured shard_map scope as a real jax.shard_map call: a
     body function replaying the scope's label children over a live mesh
-    (the codegen face of the SPMD-scope replay; nested scan children fall
-    back to T() placeholders)."""
-    scope = node.params["__scopes__"][0]
-    arg_ids = list(scope["const"]) + list(scope["in"])
+    (the codegen face of the SPMD-scope replay); nested scan scopes emit
+    real lax.scan calls."""
+    scope, arg_ids, in_exprs = _emit_scope_prologue(
+        node, et, lines, emitted, indent="")
     fname = f"scope_{node.id}"
     params_py = repr({
         k: v for k, v in node.params.items()
         if k in ("in_specs", "out_specs", "mesh")
     })
-    # materialize undefined global inputs first
-    for tid in node.inputs:
-        if tid is not None and tid not in emitted:
-            t = et.tensors[tid]
-            lines.append(f"t{tid} = T({tuple(t.shape)}, {t.dtype!r})")
-            emitted.add(tid)
     arg_names = ", ".join(f"t{t}" for t in arg_ids)
     lines.append(f"def {fname}({arg_names}):")
     inner: set = set(arg_ids)
@@ -719,17 +804,7 @@ def _emit_shard_map(node, et, lines, emitted) -> None:
         lines.append(
             f"    t{tid} = jnp.asarray({lit['v']!r}, dtype={lit['dtype']!r})")
         inner.add(int(tid))
-    for child in sorted(node.children, key=lambda c: c.id):
-        if child.params.get("__scopes__") or child.params.get("opaque"):
-            for tid in child.outputs:
-                if tid is not None and tid not in inner:
-                    t = et.tensors[tid]
-                    lines.append(
-                        f"    t{tid} = T({tuple(t.shape)}, {t.dtype!r})"
-                        f"  # nested {child.name} (placeholder)")
-                    inner.add(tid)
-            continue
-        _emit_op(child, et, lines, inner, indent="    ")
+    _emit_scope_children(node, et, lines, inner, indent="    ")
     rets = ", ".join(
         f"t{t}" if t is not None else "jnp.zeros(())" for t in scope["out"]
     )
@@ -742,9 +817,7 @@ def _emit_shard_map(node, et, lines, emitted) -> None:
     # the emitted body returns a TUPLE — single outputs need tuple unpack
     target = (outs[0] + ",") if len(outs) == 1 else (
         ", ".join(outs) if outs else "_")
-    call_args = ", ".join(
-        f"t{t}" if t is not None else "jnp.zeros(())" for t in node.inputs
-    )
+    call_args = ", ".join(in_exprs)
     lines.append(
         f"{target} = jax.shard_map({fname}, mesh=_mesh, "
         f"in_specs=tuple(_p['in_specs']), out_specs=tuple(_p['out_specs']), "
@@ -772,6 +845,9 @@ def generate_code(et: ExecutionTrace) -> str:
         if node.params.get("opaque"):
             if node.name == "shard_map" and node.params.get("__scopes__"):
                 _emit_shard_map(node, et, lines, emitted)
+                continue
+            if node.name == "scan" and node.params.get("__scopes__"):
+                _emit_scan(node, et, lines, emitted)
                 continue
             for tid in node.outputs:
                 if tid is not None and tid not in emitted:

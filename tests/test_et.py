@@ -350,6 +350,55 @@ class TestCodegen:
         assert out.returncode == 0, out.stderr[-800:]
         assert "replayed" in out.stdout
 
+    def test_scan_codegen_executes(self, tmp_path):
+        """scan scopes emit REAL lax.scan calls (carry+xs+consts), both at
+        the top level and nested inside shard_map bodies."""
+        import subprocess
+        import sys
+
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from param_tpu.trace.et_replay import generate_code
+
+        env = {"JAX_PLATFORMS": "cpu",
+               "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+               "PATH": "/usr/bin:/bin:/opt/venv/bin"}
+
+        def run(code, name):
+            p = tmp_path / name
+            p.write_text(code)
+            out = subprocess.run([sys.executable, str(p)], env=env,
+                                 capture_output=True, text=True, timeout=300)
+            assert out.returncode == 0, out.stderr[-800:]
+            assert "replayed" in out.stdout
+
+        def f(x, w):
+            def step(c, xi):
+                c2 = jnp.tanh(c @ w + xi)
+                return c2, jnp.sum(c2)
+            return jax.lax.scan(step, x, jnp.ones((5, 4)))
+
+        et = capture_execution_trace(f, jnp.ones((4, 4)), jnp.eye(4))
+        code = generate_code(et)
+        assert "lax.scan(scanstep_" in code
+        run(code, "gen_scan.py")
+
+        mesh = Mesh(np.array(jax.devices()), ("x",))
+
+        def g(v):
+            def body(u):
+                def step(c, _):
+                    return c + jax.lax.psum(u.sum(), "x"), None
+                out, _ = jax.lax.scan(step, jnp.float32(0), None, length=3)
+                return out
+            return jax.shard_map(body, mesh=mesh, in_specs=P("x"),
+                                 out_specs=P(), check_vma=False)(v)
+
+        code2 = generate_code(capture_execution_trace(g, jnp.arange(8.0)))
+        assert "jax.shard_map(scope_" in code2
+        assert "lax.scan(scanstep_" in code2
+        run(code2, "gen_nested_scan.py")
+
 
 class TestTraceRecording:
     def test_backend_records_basic_schema(self, backend):
