@@ -652,19 +652,61 @@ nan, inf = float("nan"), float("inf")  # appear in repr'd op params
 
 
 def T(shape, dtype):
-    if np.issubdtype(np.dtype(dtype), np.integer):
+    try:
+        d = np.dtype(dtype)
+    except TypeError:
+        # extended dtypes (e.g. PRNG key<fry>) — placeholder bits; only
+        # ever consumed by other placeholder ops
+        return jnp.zeros(shape, jnp.uint32)
+    if np.issubdtype(d, np.integer):
         return jnp.asarray(rng.integers(0, 8, size=shape).astype(dtype))
-    if np.dtype(dtype) == np.bool_:
+    if d == np.bool_:
         return jnp.asarray(rng.integers(0, 2, size=shape).astype(bool))
     return jnp.asarray(rng.random(size=shape).astype(np.float32)).astype(dtype)
 
 '''
 
 
+def _has_opaque_param(v) -> bool:
+    if isinstance(v, dict):
+        if "__opaque__" in v:
+            return True
+        return any(_has_opaque_param(x) for x in v.values())
+    if isinstance(v, list):
+        return any(_has_opaque_param(x) for x in v)
+    return False
+
+
+def _codegen_emittable(node) -> bool:
+    """Ops whose params carry opaque (unserializable) values — RNG impls,
+    function-valued params — can't be rebuilt in a standalone script;
+    they degrade to T() placeholders like the replayer's _skip."""
+    return not any(
+        _has_opaque_param(v) for k, v in node.params.items()
+        if k not in ("__literals__", "__scopes__", "__scope_consts__")
+    )
+
+
+def _emit_placeholder(node, et, lines, emitted, indent: str = "") -> None:
+    for tid in node.outputs:
+        if tid is not None and tid not in emitted:
+            t = et.tensors[tid]
+            lines.append(
+                f"{indent}t{tid} = T({tuple(t.shape)}, {t.dtype!r})"
+                f"  # {node.name} (opaque params: placeholder)")
+            emitted.add(tid)
+
+
 def _emit_op(node, et, lines, emitted, indent: str = "") -> None:
     """Emit one flat op line (shared by the top level and scope bodies).
     ``emitted`` tracks names defined in the current namespace; unknown
     inputs are materialized with T()."""
+    if not _codegen_emittable(node) or (
+        node.name not in primitive_registry()
+        and node.name not in _scatter_fns()
+    ):
+        _emit_placeholder(node, et, lines, emitted, indent)
+        return
     literals = node.params.get("__literals__", {})
     args = []
     for pos, tid in enumerate(node.inputs):
