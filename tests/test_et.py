@@ -286,6 +286,47 @@ class TestReplay:
             )
 
 
+class TestRaggedReplay:
+    def test_ragged_loss_capture_replay_parity(self):
+        """The ragged variable-nnz pipeline (lengths-masked compaction +
+        exchange) also captures and replays with exact loss parity."""
+        from jax.sharding import Mesh
+
+        from param_tpu.models.dlrm import (
+            DlrmConfig, DlrmModel, init_dlrm_params,
+        )
+        from param_tpu.trace.et_replay import EtReplayManager
+
+        mesh = Mesh(np.array(jax.devices()), ("x",))
+        cfg = DlrmConfig(num_tables=8, rows_per_table=64, emb_dim=8, nnz=2,
+                         dense_dim=8, bot_mlp=[16, 8], top_mlp=[16, 1],
+                         batch=16)
+        model = DlrmModel(cfg, mesh=mesh)
+        params = init_dlrm_params(jax.random.PRNGKey(0), cfg)
+        padded = dict(params)
+        padded["tables"] = jnp.concatenate(
+            [params["tables"],
+             jnp.zeros((cfg.num_tables, 1, cfg.emb_dim))], axis=1)
+        rng = np.random.default_rng(0)
+        dense = jnp.asarray(rng.standard_normal((16, 8), dtype=np.float32))
+        idx = jnp.asarray(rng.integers(0, 64, (16, 8, 2)), jnp.int32)
+        labels = jnp.asarray(rng.integers(0, 2, (16,)).astype(np.float32))
+        lengths = jnp.asarray(rng.integers(0, 3, (16, 8)), jnp.int32)
+
+        loss_fn = model.make_sharded_loss_ragged()
+        args = (padded, dense, lengths, idx, labels)
+        et = capture_execution_trace(loss_fn, *args)
+        flat_in, _ = jax.tree.flatten(args)
+        mgr = EtReplayManager(
+            et, mesh=mesh,
+            inputs={t: v for t, v in zip(et.in_tensors, flat_in)})
+        out = mgr.replay(iters=1)
+        assert not out["errors"], out["errors"]
+        np.testing.assert_allclose(
+            float(np.asarray(mgr.registry[et.out_tensors[0]])),
+            float(loss_fn(*args)), rtol=1e-6)
+
+
 class TestPrimitiveRegistry:
     def test_core_prims_present(self):
         reg = primitive_registry()
