@@ -327,6 +327,46 @@ class TestRaggedReplay:
             float(loss_fn(*args)), rtol=1e-6)
 
 
+class TestSparseStepReplay:
+    def test_sparse_sgd_capture_replay_parity(self):
+        """The sparse-SGD step (scatter-add table updates inside
+        shard_map) captures and replays with exact output parity —
+        scatter-add duplicates sum correctly through the replayer's
+        lax.scatter_add routing."""
+        from jax.sharding import Mesh
+
+        from param_tpu.models.dlrm import (
+            DlrmConfig, DlrmModel, init_dlrm_params,
+        )
+        from param_tpu.trace.et_replay import EtReplayManager
+
+        mesh = Mesh(np.array(jax.devices()), ("x",))
+        cfg = DlrmConfig(num_tables=8, rows_per_table=64, emb_dim=8, nnz=2,
+                         dense_dim=8, bot_mlp=[16, 8], top_mlp=[16, 1],
+                         batch=16)
+        model = DlrmModel(cfg, mesh=mesh)
+        params = init_dlrm_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        dense = jnp.asarray(rng.standard_normal((16, 8), dtype=np.float32))
+        idx = jnp.asarray(rng.integers(0, 64, (16, 8, 2)), jnp.int32)
+        labels = jnp.asarray(rng.integers(0, 2, (16,)).astype(np.float32))
+        step = jax.jit(model.make_sparse_sgd_step(0.05, jit=False,
+                                                  table_update="xla"))
+        args = (params, dense, idx, labels)
+        et = capture_execution_trace(step, *args)
+        flat_in, _ = jax.tree.flatten(args)
+        mgr = EtReplayManager(
+            et, mesh=mesh,
+            inputs={t: v for t, v in zip(et.in_tensors, flat_in)})
+        out = mgr.replay(iters=1)
+        assert not out["errors"], out["errors"]
+        flat_want, _ = jax.tree.flatten(step(*args))
+        for t, w in zip(et.out_tensors, flat_want):
+            np.testing.assert_allclose(
+                np.asarray(mgr.registry[t]), np.asarray(w),
+                rtol=1e-5, atol=1e-6)
+
+
 class TestPrimitiveRegistry:
     def test_core_prims_present(self):
         reg = primitive_registry()
