@@ -278,16 +278,31 @@ class EtReplayManager:
         if isinstance(desc, dict):
             desc = desc.get("__mesh__", {})
         names = desc.get("axis_names") if isinstance(desc, dict) else None
-        if not names or len(names) != 1:
+        if not names:
             raise ValueError(
-                f"node {node.id}: multi-axis shard_map replay needs an "
-                "explicit mesh= argument"
+                f"node {node.id}: shard_map replay needs an explicit "
+                "mesh= argument (no mesh descriptor recorded)"
             )
         from jax.sharding import Mesh
 
         devs = jax.devices()
-        self.mesh = Mesh(np.array(devs), tuple(names))
-        return self.mesh
+        if len(names) == 1:
+            # single axis: all live devices (auto-shrink-style)
+            self.mesh = Mesh(np.array(devs), tuple(names))
+            return self.mesh
+        sizes = desc.get("axis_sizes") or []
+        if len(sizes) == len(names) and int(np.prod(sizes)) <= len(devs):
+            # multi-axis: rebuild the recorded topology when it fits
+            n = int(np.prod(sizes))
+            self.mesh = Mesh(
+                np.array(devs[:n]).reshape(tuple(sizes)), tuple(names)
+            )
+            return self.mesh
+        raise ValueError(
+            f"node {node.id}: recorded {len(names)}-axis mesh "
+            f"{sizes} exceeds the {len(devs)} live devices — pass an "
+            "explicit mesh= argument"
+        )
 
     def _scope_body(self, node: Node):
         """Build a pure callable replaying the scope's label children

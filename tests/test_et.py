@@ -327,6 +327,35 @@ class TestRaggedReplay:
             float(loss_fn(*args)), rtol=1e-6)
 
 
+class TestMultiAxisScopeReplay:
+    def test_2d_mesh_auto_rebuild(self):
+        """A shard_map over a (dp, tp) mesh replays WITHOUT an explicit
+        mesh argument — the recorded axis names/sizes rebuild the
+        topology from live devices."""
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from param_tpu.trace.et_replay import EtReplayManager
+
+        mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("dp", "tp"))
+
+        def f(x):
+            def body(v):
+                return jax.lax.psum(jax.lax.psum(v, "tp"), "dp")
+
+            return jax.shard_map(body, mesh=mesh, in_specs=P("dp", "tp"),
+                                 out_specs=P(), check_vma=False)(x)
+
+        x = jnp.arange(16.0).reshape(4, 4)
+        et = capture_execution_trace(f, x)
+        mgr = EtReplayManager(
+            et, inputs={t: v for t, v in zip(et.in_tensors, [x])})
+        out = mgr.replay(iters=1)
+        assert not out["errors"], out["errors"]
+        np.testing.assert_allclose(
+            np.asarray(mgr.registry[et.out_tensors[0]]),
+            np.asarray(f(x)), rtol=1e-6)
+
+
 class TestSparseStepReplay:
     def test_sparse_sgd_capture_replay_parity(self):
         """The sparse-SGD step (scatter-add table updates inside
