@@ -869,7 +869,13 @@ def _emit_shard_map(node, et, lines, emitted) -> None:
                  else f"    return ({rets})")
     lines.append(f"_p = P({params_py})")
     lines.append("_names = tuple(_p['mesh']['__mesh__']['axis_names'])")
-    lines.append("_mesh = Mesh(np.array(jax.devices()), _names)")
+    lines.append("_sizes = _p['mesh']['__mesh__'].get('axis_sizes') or []")
+    lines.append("if len(_names) > 1:")
+    lines.append("    _n = int(np.prod(_sizes))")
+    lines.append("    _mesh = Mesh(np.array(jax.devices()[:_n])"
+                 ".reshape(tuple(_sizes)), _names)")
+    lines.append("else:")
+    lines.append("    _mesh = Mesh(np.array(jax.devices()), _names)")
     outs = [f"t{tid}" for tid in node.outputs if tid is not None]
     # the emitted body returns a TUPLE — single outputs need tuple unpack
     target = (outs[0] + ",") if len(outs) == 1 else (
