@@ -109,7 +109,13 @@ class CommsReplay:
         (reference: prepComms auto-shrink, commsTraceReplay.py:636-679)."""
         world = self.backend.get_world_size()
         for op in self.ops:
-            old = op.world_size or world
+            # recorded world: the split length is authoritative for ragged
+            # ops — legacy traces without pg info get world_size defaulted
+            # to the LIVE world by the parser, so 8-long splits would sail
+            # unshrunk into a 4-rank replay (found by the multi-process
+            # production-trace test)
+            old = max(op.world_size or 0, len(op.in_split or ()),
+                      len(op.out_split or ())) or world
             if old == world:
                 continue
             if op.comms in ("all_to_all", "all_to_all_single", "all_to_allv"):

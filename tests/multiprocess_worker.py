@@ -97,6 +97,33 @@ def main() -> int:
     lval = float(loss)
     assert np.isfinite(lval)
     print(f"RESULT proc={proc_id} world={world} dlrm_loss={lval:.6f}", flush=True)
+
+    # ---- REAL production-trace replay across processes (reference's
+    # 8-rank DLRM PyTorch-ET, auto-shrunk onto this multi-process world)
+    ref = "/root/reference/et_replay/tests/inputs/dlrm_pytorch_et.tar.gz"
+    if os.path.exists(ref):
+        import json
+        import tarfile
+        import tempfile
+
+        from param_tpu.trace.replay import CommsReplay, ReplayParams
+
+        with tempfile.TemporaryDirectory() as td:
+            with tarfile.open(ref) as t:
+                t.extractall(td, filter="data")
+            with open(os.path.join(td, "dlrm_pytorch_et",
+                                   "dlrm_eg_0.json")) as f:
+                trace = json.load(f)
+        rp = CommsReplay(b, ReplayParams(
+            trace_type="pytorch_et", target_rank=0, auto_shrink=True,
+            num_replays=1, num_warmup_replays=0))
+        rp.load(trace)
+        stats = rp.dry_run_stats()
+        assert stats["all_to_allv"]["count"] >= 4
+        t_replay = rp.replay_once()
+        assert t_replay > 0
+        print(f"RESULT proc={proc_id} trace_replay_ok "
+              f"ops={len(rp.records)}", flush=True)
     return 0
 
 

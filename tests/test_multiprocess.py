@@ -59,6 +59,9 @@ class TestMultiProcess:
             assert line, out[-800:]
             assert "world=4" in line[0]
             losses.add(line[0].split("dlrm_loss=")[1])
+            if os.path.isdir("/root/reference"):
+                # the real production trace replayed under this world too
+                assert any("trace_replay_ok" in l for l in line), out[-800:]
         # every process computes the same global loss
         assert len(losses) == 1
 
