@@ -66,6 +66,24 @@ class TestMultiProcess:
         assert len(losses) == 1
 
 
+class TestFourProcessWorld:
+    def test_exact_scale_trace_replay(self):
+        """4 processes x 2 devices = the production trace's EXACT 8-rank
+        world: every process computes the same global DLRM loss and
+        replays the real reference trace without shrinking."""
+        outs = _run_workers(4, timeout=400)
+        losses = set()
+        for rc, out in outs:
+            assert rc == 0, out[-1500:]
+            lines = [l for l in out.splitlines() if l.startswith("RESULT")]
+            assert any("world=8" in l for l in lines), out[-800:]
+            losses.add([l for l in lines if "dlrm_loss" in l][0]
+                       .split("dlrm_loss=")[1])
+            if os.path.isdir("/root/reference"):
+                assert any("trace_replay_ok" in l for l in lines)
+        assert len(losses) == 1
+
+
 class TestDryrunScaling:
     """The driver gate generalizes beyond n=8: all four flagship paths
     (dense/ragged/sparse/capture->replay) compile and run at n=16."""
