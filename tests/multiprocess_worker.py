@@ -124,6 +124,23 @@ def main() -> int:
         assert t_replay > 0
         print(f"RESULT proc={proc_id} trace_replay_ok "
               f"ops={len(rp.records)}", flush=True)
+
+    # ---- ET capture -> op-level replay across processes (exact parity)
+    from param_tpu.trace.capture import capture_execution_trace
+    from param_tpu.trace.et_replay import EtReplayManager
+
+    loss_fn = model.make_sharded_loss()
+    args = (params, mk(dense, d_sh), mk(idx, i_sh), mk(labels, l_sh))
+    et = capture_execution_trace(loss_fn, *args)
+    flat_in, _ = jax.tree.flatten(args)
+    mgr = EtReplayManager(
+        et, mesh=g.mesh,
+        inputs={t: v for t, v in zip(et.in_tensors, flat_in)})
+    rout = mgr.replay(iters=1)
+    assert not rout["errors"], rout["errors"]
+    got = float(np.asarray(mgr.registry[et.out_tensors[0]]))
+    assert abs(got - lval) < 1e-6, (got, lval)
+    print(f"RESULT proc={proc_id} et_replay_parity_ok", flush=True)
     return 0
 
 

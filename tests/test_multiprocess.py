@@ -62,6 +62,7 @@ class TestMultiProcess:
             if os.path.isdir("/root/reference"):
                 # the real production trace replayed under this world too
                 assert any("trace_replay_ok" in l for l in line), out[-800:]
+            assert any("et_replay_parity_ok" in l for l in line), out[-800:]
         # every process computes the same global loss
         assert len(losses) == 1
 
