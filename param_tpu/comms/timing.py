@@ -36,6 +36,21 @@ def _block(x) -> None:
     jax.block_until_ready(x)
 
 
+def fetch_scalar(x) -> float:
+    """Force + fetch a (replicated) scalar result.
+
+    Multi-process worlds: ``float()`` on an array spanning non-addressable
+    devices raises — read this process's addressable shard instead (the
+    chain outputs are replicated via psum, so every shard holds the same
+    value, and the read still forces local execution)."""
+    try:
+        return float(x)
+    except RuntimeError:
+        import numpy as np
+
+        return float(np.asarray(x.addressable_shards[0].data))
+
+
 def measure_dispatch(fn: Callable[[], object], iters: int, warmup: int = 2) -> float:
     """Average per-op seconds via delta-N async dispatch timing."""
     for _ in range(max(1, warmup)):
@@ -120,18 +135,18 @@ def measure_chain(
 
     def timed(n: int) -> float:
         t0 = time.perf_counter()
-        float(chain_fn(n))
+        fetch_scalar(chain_fn(n))
         return time.perf_counter() - t0
 
     # warm + noise floor estimate at the short chain
-    float(chain_fn(n_lo))
+    fetch_scalar(chain_fn(n_lo))
     lo_times = [timed(n_lo) for _ in range(3)]
     t_lo = min(lo_times)
     noise = max(lo_times) - t_lo
 
     n = max(n_hi, n_lo * 2)
     while True:
-        float(chain_fn(n))  # compile outside the timed region
+        fetch_scalar(chain_fn(n))  # compile outside the timed region
         t_hi = min(timed(n) for _ in range(2))
         delta = t_hi - t_lo
         if delta > max(8 * noise, 0.02) or n >= max_n:

@@ -488,28 +488,37 @@ class DlrmCommBench:
         }
         out["step_total"] = self._step_chain(params, batch)
         data_sh = model.shardings()[1]
-        out["mem_push_idx"] = self._host_push_chain(
-            np.asarray(idx), data_sh[1]
-        )
-        out["mem_push_gradients"] = self._host_push_chain(
-            np.asarray(labels), data_sh[2]
-        )
+        out["mem_push_idx"] = self._host_push_chain(idx, data_sh[1])
+        out["mem_push_gradients"] = self._host_push_chain(labels, data_sh[2])
         return out
 
     @staticmethod
-    def _host_push_chain(host_buf: np.ndarray, sharding):
+    def _host_push_chain(arr, sharding):
         """H2D push region (reference mem_push_idx / mem_push_gradients,
         dlrm.py:1214-1222): device_put n DISTINCT host buffers (so no
         transfer can be elided) and force completion with one scalar
         fetch.  measure_chain's delta-N cancels the fetch round trip; the
-        per-op time is one host->device transfer + a trivial reduce."""
+        per-op time is one host->device transfer + a trivial reduce.
+
+        Multi-process: the global batch can't be fetched to one host —
+        each process pushes its LOCAL shard to its own devices (the honest
+        multi-host semantics: every host pays its own H2D push)."""
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            shard = arr.addressable_shards[0]
+            host_buf = np.asarray(shard.data)
+            target = shard.device
+        else:
+            host_buf = np.asarray(arr)
+            target = sharding
         variants = [host_buf + np.asarray(i, dtype=host_buf.dtype)
                     for i in range(4)]
 
         def chain(n: int):
             total = jnp.float32(0)
             for i in range(n):
-                buf = jax.device_put(variants[i % len(variants)], sharding)
+                buf = jax.device_put(variants[i % len(variants)], target)
                 total = total + jnp.sum(buf).astype(jnp.float32)
             return total
 

@@ -141,6 +141,18 @@ def main() -> int:
     got = float(np.asarray(mgr.registry[et.out_tensors[0]]))
     assert abs(got - lval) < 1e-6, (got, lval)
     print(f"RESULT proc={proc_id} et_replay_parity_ok", flush=True)
+
+    # ---- DLRM bench regions with cross-rank sample pooling (the
+    # multi-host percentile path, reference dlrm.py:1044-1063)
+    import optax
+
+    from param_tpu.models.dlrm_bench import DlrmCommBench
+
+    bench = DlrmCommBench(model, optax.sgd(0.01))
+    res = bench.run(reps=1, n_hi=2, max_n=4, regions=["fwd_a2a"])
+    p50 = res["fwd_a2a"]["p50_us"]
+    assert p50 > 0
+    print(f"RESULT proc={proc_id} bench_p50={p50:.4f}", flush=True)
     return 0
 
 

@@ -53,6 +53,7 @@ class TestMultiProcess:
     def test_two_process_world(self):
         outs = _run_workers(2)
         losses = set()
+        p50s = set()
         for rc, out in outs:
             assert rc == 0, out[-1500:]
             line = [l for l in out.splitlines() if l.startswith("RESULT")]
@@ -63,8 +64,14 @@ class TestMultiProcess:
                 # the real production trace replayed under this world too
                 assert any("trace_replay_ok" in l for l in line), out[-800:]
             assert any("et_replay_parity_ok" in l for l in line), out[-800:]
-        # every process computes the same global loss
+            # cross-rank pooled percentiles: same p50 on every process
+            bench = [l for l in line if "bench_p50=" in l]
+            assert bench, out[-800:]
+            p50s.add(bench[0].split("bench_p50=")[1])
+        # every process computes the same global loss and, via the
+        # cross-rank sample gather, the same pooled bench percentiles
         assert len(losses) == 1
+        assert len(p50s) == 1
 
 
 class TestFourProcessWorld:
