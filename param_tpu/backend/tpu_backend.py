@@ -209,11 +209,25 @@ class TpuBackend(Backend):
         arr = np.concatenate(parts, axis=0)
         return jax.device_put(arr, self._sharding(group))
 
-    def local_shards(self, tensor, group=None) -> List[np.ndarray]:
-        """Fetch the per-rank shards of a global array (for dcheck/report)."""
+    def local_shards(self, tensor, group=None) -> List[Optional[np.ndarray]]:
+        """Per-rank shards of a global array (for dcheck/report).
+
+        Multi-process: the global array can't be fetched to one host —
+        non-addressable ranks come back as ``None`` and each process
+        inspects only its local shards (dcheck skips None entries)."""
         group = group or self._default_group
         n = group.size
-        arr = np.asarray(tensor)
+        try:
+            arr = np.asarray(tensor)
+        except RuntimeError:
+            out: List[Optional[np.ndarray]] = [None] * n
+            for sh in tensor.addressable_shards:
+                try:
+                    r = group.devices.index(sh.device)
+                except ValueError:
+                    continue
+                out[r] = np.asarray(sh.data)
+            return out
         return np.split(arr, n, axis=0)
 
     # ------------------------------------------------------- program cache

@@ -214,6 +214,16 @@ class CommsBench:
             return ok
 
         shards = self.backend.local_shards(out, g)
+        # multi-process: non-addressable ranks come back as None — each
+        # process validates only its LOCAL ranks (the reference's dcheck
+        # is per-rank local too, comms_utils.py:997-1055)
+        first = next((s for s in shards if s is not None), None)
+        if first is None:
+            return True
+
+        def closeN(a, v):
+            return True if a is None else close(a, v)
+
         ok = True
         if collective == "all_reduce":
             expect = {
@@ -224,37 +234,37 @@ class CommsBench:
             if expect is None:
                 log.warning("dcheck: all_reduce op %r not validated", args.red_op)
                 return True
-            ok = all(close(s, expect) for s in shards)
+            ok = all(closeN(s, expect) for s in shards)
         elif collective == "reduce":
-            ok = close(shards[args.dst_rank], ranks_sum) and all(
-                close(s, 0.0) for r, s in enumerate(shards) if r != args.dst_rank
+            ok = closeN(shards[args.dst_rank], ranks_sum) and all(
+                closeN(s, 0.0) for r, s in enumerate(shards) if r != args.dst_rank
             )
         elif collective in ("all_gather", "all_gather_base"):
-            per = len(shards[0]) // n
+            per = len(first) // n
             expect = np.repeat(np.arange(1, n + 1, dtype=np.float64), per)
-            ok = all(close(s, expect) for s in shards)
+            ok = all(closeN(s, expect) for s in shards)
         elif collective in ("reduce_scatter", "reduce_scatter_base"):
-            ok = all(close(s, ranks_sum) for s in shards)
+            ok = all(closeN(s, ranks_sum) for s in shards)
         elif collective in ("all_to_all", "all_to_all_single"):
-            per = len(shards[0]) // n
+            per = len(first) // n
             expect = np.repeat(np.arange(1, n + 1, dtype=np.float64), per)
-            ok = all(close(s, expect) for s in shards)
+            ok = all(closeN(s, expect) for s in shards)
         elif collective == "broadcast":
-            ok = all(close(s, args.src_rank + 1) for s in shards)
+            ok = all(closeN(s, args.src_rank + 1) for s in shards)
         elif collective == "gather":
-            per = len(shards[0]) // n
+            per = len(first) // n
             expect = np.repeat(np.arange(1, n + 1, dtype=np.float64), per)
-            ok = close(shards[args.dst_rank], expect)
+            ok = closeN(shards[args.dst_rank], expect)
         elif collective == "scatter":
-            ok = all(close(s, args.src_rank + 1) for s in shards)
+            ok = all(closeN(s, args.src_rank + 1) for s in shards)
         elif collective == "multicast":
             dsts = args.dst_ranks or [r for r in range(n) if r != args.src_rank]
-            ok = all(close(shards[d], args.src_rank + 1) for d in dsts)
+            ok = all(closeN(shards[d], args.src_rank + 1) for d in dsts)
         elif collective == "incast":
             srcs = args.src_ranks or [r for r in range(n) if r != args.dst_rank]
-            per = len(shards[0]) // n
+            per = len(first) // n
             got = shards[args.dst_rank]
-            ok = all(
+            ok = got is None or all(
                 close(got[s * per : (s + 1) * per], s + 1) for s in srcs
             )
         elif collective == "reduce_scatter_v":
@@ -269,28 +279,28 @@ class CommsBench:
                 log.warning("dcheck: reduce_scatter_v op %r not validated",
                             args.red_op)
                 return True
-            ok = all(close(s, expect) for s in shards)
+            ok = all(closeN(s, expect) for s in shards)
         elif collective == "all_to_allv":
             if args.in_split is None:
-                per = len(shards[0]) // n
+                per = len(first) // n
                 expect = np.repeat(np.arange(1, n + 1, dtype=np.float64), per)
-                ok = all(close(s, expect) for s in shards)
+                ok = all(closeN(s, expect) for s in shards)
             else:
                 S = np.asarray(args.in_split, dtype=np.int64)
                 if S.ndim == 1:
                     S = np.tile(S, (n, 1))
                 out_offs = np.zeros_like(S)
                 out_offs[1:, :] = np.cumsum(S[:-1, :], axis=0)
-                recv_max = len(shards[0])
+                recv_max = len(first)
                 for r in range(n):
                     expect = np.zeros(recv_max, dtype=np.float64)
                     for i in range(n):
                         o, c = int(out_offs[i, r]), int(S[i, r])
                         expect[o : o + c] = i + 1
-                    ok = ok and close(shards[r], expect)
+                    ok = ok and closeN(shards[r], expect)
         elif collective == "pt2pt":
             for s_rank, d_rank in zip(args.src_ranks, args.dst_ranks):
-                ok = ok and close(shards[d_rank], s_rank + 1)
+                ok = ok and closeN(shards[d_rank], s_rank + 1)
         else:
             log.warning("dcheck: no expectation for %s — not validated",
                         collective)

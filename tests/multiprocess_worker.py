@@ -153,6 +153,21 @@ def main() -> int:
     p50 = res["fwd_a2a"]["p50_us"]
     assert p50 > 0
     print(f"RESULT proc={proc_id} bench_p50={p50:.4f}", flush=True)
+
+    # ---- collective sweep + dcheck across processes (graph-mode chains,
+    # local-shard validation — dcheck skips non-addressable ranks)
+    from param_tpu.comms.coll_bench import CollBench
+    from param_tpu.comms.harness import CommsParams
+
+    cp = CommsParams(begin_size=256, end_size=256, num_iters=3,
+                     num_warmup_iters=1, dcheck=True,
+                     collectives=["all_reduce", "all_to_all", "reduce"])
+    cb = CollBench(b, cp, reps=1)
+    for coll in cp.collectives:
+        r = cb.run_one(coll, 256, g)
+        assert r.pct(50) > 0, coll
+        assert r.dcheck_ok is True, (coll, r.dcheck_ok)
+    print(f"RESULT proc={proc_id} sweep_dcheck_ok", flush=True)
     return 0
 
 

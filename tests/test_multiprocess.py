@@ -68,6 +68,7 @@ class TestMultiProcess:
             bench = [l for l in line if "bench_p50=" in l]
             assert bench, out[-800:]
             p50s.add(bench[0].split("bench_p50=")[1])
+            assert any("sweep_dcheck_ok" in l for l in line), out[-800:]
         # every process computes the same global loss and, via the
         # cross-rank sample gather, the same pooled bench percentiles
         assert len(losses) == 1
