@@ -32,7 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--data-type", default="float32")
     ap.add_argument("--mode", default="graph",
                     choices=["dispatch", "blocking", "graph"],
-                    help="timing mode (blocking == reference --z 1)")
+                    help="timing mode (blocking == reference --z 1); "
+                         "graph (chain) is the only mode trustworthy on "
+                         "remote-attached TPUs — dispatch is DEBUG-ONLY")
     ap.add_argument("--z", type=int, default=None,
                     help="reference compat: 1 -> blocking mode")
     ap.add_argument("--c", type=int, default=0, help="data validation (dcheck)")

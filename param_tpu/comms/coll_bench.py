@@ -117,9 +117,12 @@ class CollBench(CommsBench):
             ]
             res.lat_us = [t * 1e6 for t in per]
         else:
+            # dispatch mode is debug-only on remote-attached TPUs (dispatch
+            # can return before execution — CLAUDE.md timing rules); still
+            # give its percentiles a real sample size (>=10, like graph mode)
             per = [
                 measure_dispatch(call, p.num_iters, p.num_warmup_iters)
-                for _ in range(self.reps)
+                for _ in range(max(self.reps, 10))
             ]
             res.lat_us = [t * 1e6 for t in per]
         self.backend.clear_memory()

@@ -112,6 +112,7 @@ def measure_chain(
     n_hi: int = 16,
     reps: int = 1,
     max_n: int = 1024,
+    adaptive: bool | None = None,
 ) -> float:
     """Ground-truth per-op seconds: scalar-fetch delta-N timing with
     adaptive chain growth.
@@ -129,9 +130,19 @@ def measure_chain(
     the observed noise floor — otherwise fast ops would disappear into the
     jitter and the delta could even go negative.
 
+    ``adaptive`` controls that growth.  It MUST be off in multi-process
+    worlds when ``chain_fn`` contains collectives: the growth decision is
+    data-dependent (local noise floor), so different processes can pick
+    different chain lengths and launch MISMATCHED collective programs —
+    a silent SPMD deadlock (observed as a >500 s hang / Gloo connection
+    reset in the 4-process sweep stage).  Default ``None`` = auto:
+    adaptive only when this runtime has a single process.
+
     This is the analogue of the reference's CUDA-graph timing mode
     (run_coll_cuda_graph, comms.py:375) with nccl-tests-style averaging.
     """
+    if adaptive is None:
+        adaptive = jax.process_count() == 1
 
     def timed(n: int) -> float:
         t0 = time.perf_counter()
@@ -149,7 +160,7 @@ def measure_chain(
         fetch_scalar(chain_fn(n))  # compile outside the timed region
         t_hi = min(timed(n) for _ in range(2))
         delta = t_hi - t_lo
-        if delta > max(8 * noise, 0.02) or n >= max_n:
+        if not adaptive or delta > max(8 * noise, 0.02) or n >= max_n:
             break
         n *= 4
 
