@@ -1,0 +1,105 @@
+"""CLI for ATen-op-level COMPUTE replay of PyTorch execution traces.
+
+Reference flag surface: ``et_replay/tools/et_replay.py`` main (``--input``,
+``-c`` compute mode, ``--profile-replay``) — here specialised to the compute
+stream; the comm stream of the same traces replays via
+``python -m param_tpu.cli.replay --trace-type pytorch_et``.
+
+Run:
+    python -m param_tpu.cli.pt_et --trace linear_et.json.gz
+    python -m param_tpu.cli.pt_et --trace resnet_et.json.gz --max-ops 300
+    python -m param_tpu.cli.pt_et --trace linear_et.json.gz --chain
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import sys
+import tarfile
+
+
+def load_trace(path: str) -> dict:
+    """Load a PyTorch ET JSON, transparently handling .gz / .tar.gz."""
+    if path.endswith(".tar.gz") or path.endswith(".tgz"):
+        with tarfile.open(path) as t:
+            for m in t.getmembers():
+                if m.name.endswith(".json"):
+                    return json.load(t.extractfile(m))
+        raise ValueError(f"no .json member in {path}")
+    if path.endswith(".gz"):
+        with gzip.open(path, "rt") as f:
+            return json.load(f)
+    with open(path) as f:
+        return json.load(f)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="param_tpu.pt_et",
+        description="ATen-op-level compute replay of PyTorch ETs on TPU",
+    )
+    ap.add_argument("--trace", required=True, help="ET json(.gz/.tar.gz)")
+    ap.add_argument("--iters", type=int, default=1)
+    ap.add_argument("--max-ops", type=int, default=None,
+                    help="replay only the first N selected ops")
+    ap.add_argument("--chain", action="store_true",
+                    help="fuse the whole op stream into ONE XLA program and "
+                         "time it with scalar-fetch delta-N chains (the "
+                         "trustworthy mode on remote-attached TPUs)")
+    ap.add_argument("--skip-config", default=None,
+                    help="JSON skip config; auto-updated with failing ops")
+    ap.add_argument("--output-json", default=None)
+    ap.add_argument("--top", type=int, default=20,
+                    help="rows in the per-op table")
+    return ap
+
+
+def main(argv=None) -> int:
+    ns = build_parser().parse_args(argv)
+    data = load_trace(ns.trace)
+
+    from param_tpu.trace.pytorch_op_replay import PyTorchOpReplay
+
+    skip = set()
+    if ns.skip_config:
+        import os
+
+        if os.path.exists(ns.skip_config):
+            with open(ns.skip_config) as f:
+                skip = set(json.load(f).get("skip nodes", {}))
+    replayer = PyTorchOpReplay(
+        data, max_ops=ns.max_ops, skip_names=skip,
+        skip_config_path=ns.skip_config,
+    )
+    print(f"selected {len(replayer.nodes)} ATen ops "
+          f"(schema {replayer.et.schema})")
+
+    if ns.chain:
+        per_iter = replayer.measure_chain_iteration()
+        report = replayer.report(executed=0, wall_s=0.0, iters=0)
+        report["chain_iteration_s"] = per_iter
+        print(f"fused-iteration time: {per_iter * 1e3:.3f} ms "
+              f"({1.0 / per_iter:.1f} iters/s)")
+    else:
+        report = replayer.replay(iters=ns.iters)
+        print(f"executed {report['num_executed']} ops in "
+              f"{report['wall_s']:.2f} s")
+        hdr = f"{'op':44s}{'count':>7s}{'p50(us)':>12s}{'total(us)':>14s}"
+        print(hdr)
+        for name, s in list(report["per_op"].items())[: ns.top]:
+            print(f"{name:44s}{s['count']:7d}{s['p50_us']:12.1f}"
+                  f"{s['total_us']:14.1f}")
+    if report["skipped"]:
+        print("skipped ops:")
+        for name, why in report["skipped"].items():
+            print(f"  {name}: {why}")
+    if ns.output_json:
+        with open(ns.output_json, "w") as f:
+            json.dump(report, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

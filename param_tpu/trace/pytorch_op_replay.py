@@ -1,0 +1,1333 @@
+"""ATen-op-level COMPUTE replay of PyTorch execution traces on TPU.
+
+The reference rebuilds a TorchScript callable per trace node and replays the
+full compute graph of production PyTorch ETs
+(``et_replay/tools/et_replay.py:829`` ``build_func``, ``:891``
+``get_tensor_from_storage``, ``:468-560`` ``extract_subgraph``;
+``et_replay_utils.py:129`` ``build_torchscript_func``).  This module answers
+the same question TPU-natively: *what does this PyTorch model's op stream
+cost on our silicon* — by mapping each ``aten::*`` op to a JAX callable.
+
+Node selection follows the reference exactly: the TOP-MOST nodes carrying a
+non-empty ``op_schema`` (reference ``NodeType.OPERATOR`` detection,
+``execution_trace.py:278-291``), in node-id (execution) order, windowed to
+the first ``ProfilerStep`` interval when the trace spans several steps
+(``et_replay.py:535-542``).  Input tensors not produced by an earlier op are
+materialized from their trace metadata the way the reference's storage map
+does (rand for floats, ones for ints — safe indices; ``et_replay.py:891``).
+
+TPU-native design (not a port):
+
+- **discrete mode** — each op is one ``jax.jit`` program (compiled once per
+  distinct (op, signature), reused across the stream and across iterations;
+  the reference's per-node TorchScript func analogue), timed per call.
+  Decision-grade on local backends (CPU mesh); on a remote-attached TPU
+  per-op host timing measures the tunnel, so use chain mode there.
+- **chain mode** — the ENTIRE supported op stream is traced into ONE fused
+  XLA program and timed with scalar-fetch delta-N chains
+  (:func:`param_tpu.comms.timing.measure_chain`) — the trustworthy timing
+  path on axon-attached TPUs, and the genuinely TPU-shaped way to run a
+  recorded op stream (XLA fuses the elementwise chains into the matmuls the
+  reference launches as separate CUDA kernels).
+
+Unsupported ops degrade to the skip path with the reason recorded; the skip
+config auto-update mirrors ``trace/et_replay.py`` (reference: skip-node
+replay config, ``et_replay.py:355-390,458``).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from param_tpu.trace.pytorch_et import PtNode, PyTorchETrace, _torch_dtype
+from param_tpu.utils.sizes import percentile
+
+log = logging.getLogger(__name__)
+
+
+class UnsupportedOp(Exception):
+    """Raised by an impl when a recorded variant has no TPU mapping."""
+
+
+# --------------------------------------------------------------------------
+# dtype / argument plumbing
+# --------------------------------------------------------------------------
+
+_NP_DTYPES = {
+    "float32": np.float32, "float64": np.float64, "float16": np.float16,
+    "bfloat16": "bfloat16", "int32": np.int32, "int64": np.int64,
+    "bool": np.bool_, "byte": np.uint8, "char": np.int8,
+}
+
+
+def _np_dtype(type_token: str):
+    name = _torch_dtype(type_token)
+    dt = _NP_DTYPES.get(name, np.float32)
+    if dt == "bfloat16":
+        import jax.numpy as jnp
+
+        return jnp.bfloat16
+    return dt
+
+
+def _is_tensor_slot(type_token: str) -> bool:
+    t = type_token or ""
+    return "Tensor" in t and "GenericList" not in t
+
+
+def _is_tensor_list_slot(type_token: str) -> bool:
+    return "GenericList[Tensor" in (type_token or "")
+
+
+def _tensor_key(desc: Any) -> Optional[Tuple[int, int]]:
+    """(tensor_id, storage_id) registry key; None for nullptr tensors."""
+    if not isinstance(desc, (list, tuple)) or len(desc) < 4:
+        return None
+    if not desc[3]:  # numel 0 == uninitialized / undefined tensor
+        return None
+    return (int(desc[0]), int(desc[1]))
+
+
+# --------------------------------------------------------------------------
+# the ATen -> JAX registry
+# --------------------------------------------------------------------------
+# Each impl: (args, meta) -> list of per-output-slot values.  ``args`` holds
+# jnp arrays for tensor slots (None for nullptr), lists of arrays for
+# GenericList[Tensor] slots, and raw literals otherwise.  Impls must derive
+# every shape from args (never from the node) so compiled programs can be
+# shared between nodes with equal signatures.
+
+_ATEN: Dict[str, Callable] = {}
+
+
+def aten(*names):
+    def deco(fn):
+        for n in names:
+            _ATEN[n] = fn
+        return fn
+    return deco
+
+
+def _as_pair(v):
+    if isinstance(v, (list, tuple)):
+        return tuple(v) if len(v) > 1 else (v[0], v[0])
+    return (v, v)
+
+
+def _reduction(args_val):
+    # torch reduction enum: 0 none, 1 mean, 2 sum
+    return {0: "none", 1: "mean", 2: "sum"}.get(args_val, "mean")
+
+
+@aten("aten::linear")
+def _linear(a, meta):
+    import jax.numpy as jnp
+
+    x, w = a[0], a[1]
+    out = jnp.einsum("...k,nk->...n", x, w)
+    if len(a) > 2 and a[2] is not None:
+        out = out + a[2]
+    return [out]
+
+
+@aten("aten::t")
+def _t(a, meta):
+    import jax.numpy as jnp
+
+    x = a[0]
+    return [jnp.swapaxes(x, 0, 1) if x.ndim == 2 else x]
+
+
+@aten("aten::transpose", "aten::transpose_")
+def _transpose(a, meta):
+    import jax.numpy as jnp
+
+    return [jnp.swapaxes(a[0], int(a[1]), int(a[2]))]
+
+
+@aten("aten::permute")
+def _permute(a, meta):
+    import jax.numpy as jnp
+
+    return [jnp.transpose(a[0], axes=[int(d) for d in a[1]])]
+
+
+@aten("aten::mm", "aten::bmm", "aten::matmul")
+def _mm(a, meta):
+    import jax.numpy as jnp
+
+    return [jnp.matmul(a[0], a[1])]
+
+
+@aten("aten::addmm")
+def _addmm(a, meta):
+    import jax.numpy as jnp
+
+    bias, m1, m2 = a[0], a[1], a[2]
+    beta = a[3] if len(a) > 3 else 1
+    alpha = a[4] if len(a) > 4 else 1
+    return [beta * bias + alpha * jnp.matmul(m1, m2)]
+
+
+@aten("aten::baddbmm")
+def _baddbmm(a, meta):
+    import jax.numpy as jnp
+
+    beta = a[3] if len(a) > 3 else 1
+    alpha = a[4] if len(a) > 4 else 1
+    return [beta * a[0] + alpha * jnp.matmul(a[1], a[2])]
+
+
+@aten("aten::relu", "aten::relu_")
+def _relu(a, meta):
+    import jax.numpy as jnp
+
+    return [jnp.maximum(a[0], 0)]
+
+
+@aten("aten::clamp_min", "aten::clamp_min_")
+def _clamp_min(a, meta):
+    import jax.numpy as jnp
+
+    return [jnp.maximum(a[0], a[1])]
+
+
+@aten("aten::threshold_backward")
+def _threshold_backward(a, meta):
+    import jax.numpy as jnp
+
+    grad, self_, thr = a[0], a[1], a[2]
+    return [jnp.where(self_ > thr, grad, 0)]
+
+
+@aten("aten::gelu", "aten::gelu_")
+def _gelu(a, meta):
+    import jax
+
+    approx = "tanh" in str(a[1]) if len(a) > 1 else False
+    return [jax.nn.gelu(a[0], approximate=approx)]
+
+
+@aten("aten::gelu_backward")
+def _gelu_backward(a, meta):
+    import jax
+
+    grad, x = a[0], a[1]
+    approx = "tanh" in str(a[2]) if len(a) > 2 else False
+    _, vjp = jax.vjp(lambda v: jax.nn.gelu(v, approximate=approx), x)
+    return [vjp(grad)[0]]
+
+
+@aten("aten::tanh")
+def _tanh(a, meta):
+    import jax.numpy as jnp
+
+    return [jnp.tanh(a[0])]
+
+
+@aten("aten::sigmoid")
+def _sigmoid(a, meta):
+    import jax
+
+    return [jax.nn.sigmoid(a[0])]
+
+
+@aten("aten::silu", "aten::silu_")
+def _silu(a, meta):
+    import jax
+
+    return [jax.nn.silu(a[0])]
+
+
+@aten("aten::sum", "aten::mean")
+def _sum_mean(a, meta):
+    import jax.numpy as jnp
+
+    fn = jnp.sum if meta["name"] == "aten::sum" else jnp.mean
+    x = a[0]
+    dims = None
+    keepdim = False
+    if len(a) > 1 and isinstance(a[1], (list, tuple)) and a[1]:
+        dims = tuple(int(d) for d in a[1])
+        if len(a) > 2 and isinstance(a[2], bool):
+            keepdim = a[2]
+    return [fn(x, axis=dims, keepdims=keepdim)]
+
+
+@aten("aten::view", "aten::reshape", "aten::_unsafe_view")
+def _view(a, meta):
+    import jax.numpy as jnp
+
+    return [jnp.reshape(a[0], [int(d) for d in a[1]])]
+
+
+@aten("aten::flatten")
+def _flatten(a, meta):
+    import jax.numpy as jnp
+
+    x = a[0]
+    start = int(a[1]) if len(a) > 1 else 0
+    end = int(a[2]) if len(a) > 2 else -1
+    if end < 0:
+        end += x.ndim
+    shape = list(x.shape[:start]) + [-1] + list(x.shape[end + 1:])
+    return [jnp.reshape(x, shape)]
+
+
+@aten("aten::zero_")
+def _zero_(a, meta):
+    import jax.numpy as jnp
+
+    return [jnp.zeros_like(a[0])]
+
+
+@aten("aten::fill_")
+def _fill_(a, meta):
+    import jax.numpy as jnp
+
+    return [jnp.full_like(a[0], a[1])]
+
+
+@aten("aten::add", "aten::add_", "aten::sub", "aten::sub_")
+def _add_sub(a, meta):
+    sign = 1 if meta["name"].startswith("aten::add") else -1
+    alpha = a[2] if len(a) > 2 and not isinstance(a[2], (list, tuple)) else 1
+    return [a[0] + sign * alpha * a[1]]
+
+
+@aten("aten::mul", "aten::mul_")
+def _mul(a, meta):
+    return [a[0] * a[1]]
+
+
+@aten("aten::div", "aten::div_")
+def _div(a, meta):
+    return [a[0] / a[1]]
+
+
+@aten("aten::neg")
+def _neg(a, meta):
+    return [-a[0]]
+
+
+@aten("aten::sqrt", "aten::sqrt_")
+def _sqrt(a, meta):
+    import jax.numpy as jnp
+
+    return [jnp.sqrt(a[0])]
+
+
+@aten("aten::rsqrt")
+def _rsqrt(a, meta):
+    import jax.lax as lax
+
+    return [lax.rsqrt(a[0])]
+
+
+@aten("aten::pow")
+def _pow(a, meta):
+    return [a[0] ** a[1]]
+
+
+@aten("aten::addcmul_", "aten::addcmul")
+def _addcmul(a, meta):
+    val = a[3] if len(a) > 3 else 1
+    return [a[0] + val * a[1] * a[2]]
+
+
+@aten("aten::addcdiv_", "aten::addcdiv")
+def _addcdiv(a, meta):
+    val = a[3] if len(a) > 3 else 1
+    return [a[0] + val * a[1] / a[2]]
+
+
+@aten("aten::softmax", "aten::_softmax")
+def _softmax(a, meta):
+    import jax
+
+    return [jax.nn.softmax(a[0], axis=int(a[1]) if len(a) > 1 else -1)]
+
+
+@aten("aten::log_softmax", "aten::_log_softmax")
+def _log_softmax(a, meta):
+    import jax
+
+    return [jax.nn.log_softmax(a[0], axis=int(a[1]) if len(a) > 1 else -1)]
+
+
+@aten("aten::_softmax_backward_data")
+def _softmax_bwd(a, meta):
+    import jax.numpy as jnp
+
+    grad, out, dim = a[0], a[1], int(a[2])
+    return [(grad - jnp.sum(grad * out, axis=dim, keepdims=True)) * out]
+
+
+@aten("aten::_log_softmax_backward_data")
+def _log_softmax_bwd(a, meta):
+    import jax.numpy as jnp
+
+    grad, out, dim = a[0], a[1], int(a[2])
+    return [grad - jnp.exp(out) * jnp.sum(grad, axis=dim, keepdims=True)]
+
+
+@aten("aten::cross_entropy_loss")
+def _cross_entropy(a, meta):
+    import jax
+    import jax.numpy as jnp
+
+    logits, target = a[0], a[1]
+    reduction = _reduction(a[3] if len(a) > 3 else 1)
+    ls = jax.nn.log_softmax(logits, axis=-1)
+    target = jnp.reshape(target, ls.shape[:-1])
+    nll = -jnp.take_along_axis(
+        ls, target[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    if reduction == "mean":
+        return [jnp.mean(nll)]
+    if reduction == "sum":
+        return [jnp.sum(nll)]
+    return [nll]
+
+
+@aten("aten::nll_loss_forward")
+def _nll_forward(a, meta):
+    import jax.numpy as jnp
+
+    logp, target = a[0], a[1]
+    reduction = _reduction(a[3] if len(a) > 3 else 1)
+    target = jnp.reshape(target, logp.shape[:-1])
+    nll = -jnp.take_along_axis(
+        logp, target[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    total_w = jnp.asarray(float(np.prod(nll.shape)), logp.dtype)
+    if reduction == "mean":
+        return [jnp.mean(nll), total_w]
+    if reduction == "sum":
+        return [jnp.sum(nll), total_w]
+    return [nll, total_w]
+
+
+@aten("aten::nll_loss_backward")
+def _nll_backward(a, meta):
+    import jax
+    import jax.numpy as jnp
+
+    grad_out, logp, target = a[0], a[1], a[2]
+    reduction = _reduction(a[4] if len(a) > 4 else 1)
+    n, c = logp.shape[0], logp.shape[-1]
+    target = jnp.reshape(target, logp.shape[:-1])
+    onehot = jax.nn.one_hot(target.astype(jnp.int32), c, dtype=logp.dtype)
+    scale = grad_out / n if reduction == "mean" else grad_out
+    return [-onehot * jnp.reshape(scale, (-1,) + (1,) * (logp.ndim - 1))]
+
+
+@aten("aten::ones_like")
+def _ones_like(a, meta):
+    import jax.numpy as jnp
+
+    return [jnp.ones_like(a[0])]
+
+
+@aten("aten::zeros_like", "aten::empty_like")
+def _zeros_like(a, meta):
+    import jax.numpy as jnp
+
+    return [jnp.zeros_like(a[0])]
+
+
+@aten("aten::_foreach_add_", "aten::_foreach_add")
+def _foreach_add(a, meta):
+    ts = a[0]
+    other = a[1]
+    alpha = a[2] if len(a) > 2 else 1
+    if isinstance(other, list):
+        return [[t + alpha * o for t, o in zip(ts, other)]]
+    return [[t + alpha * other for t in ts]]
+
+
+@aten("aten::_foreach_mul_", "aten::_foreach_mul")
+def _foreach_mul(a, meta):
+    ts = a[0]
+    other = a[1]
+    if isinstance(other, list):
+        return [[t * o for t, o in zip(ts, other)]]
+    return [[t * other for t in ts]]
+
+
+@aten("aten::copy_")
+def _copy_(a, meta):
+    import jax.numpy as jnp
+
+    dst, src = a[0], a[1]
+    return [jnp.broadcast_to(src.astype(dst.dtype), dst.shape)]
+
+
+@aten("aten::detach", "aten::detach_", "aten::clone", "aten::contiguous",
+      "aten::alias", "aten::lift_fresh")
+def _identity(a, meta):
+    return [a[0]]
+
+
+@aten("aten::to", "aten::_to_copy", "aten::type_as")
+def _to(a, meta):
+    # device/layout moves are identity on a single-runtime replay; dtype
+    # casts are rare in the fixtures and metadata-coded — keep values
+    return [a[0]]
+
+
+@aten("aten::as_strided")
+def _as_strided(a, meta):
+    import jax.numpy as jnp
+
+    x, size, stride = a[0], a[1], a[2]
+    offset = int(a[3]) if len(a) > 3 and a[3] is not None else 0
+    size = [int(s) for s in size]
+    stride = [int(s) for s in stride]
+    if not size:
+        return [jnp.reshape(x, ())]
+    # static strided index map into the (flattened) base — the replay
+    # registry holds views, not storages, so clip into the window we have
+    idx = np.full((1,), offset, dtype=np.int64)
+    for s, st in zip(size, stride):
+        idx = (idx[..., None] + (np.arange(s) * st)).reshape(-1)
+    idx = np.clip(idx, 0, max(int(np.prod(x.shape)) - 1, 0)).reshape(size)
+    return [jnp.reshape(x, (-1,))[idx]]
+
+
+@aten("aten::expand")
+def _expand(a, meta):
+    import jax.numpy as jnp
+
+    x, sizes = a[0], [int(s) for s in a[1]]
+    shape = list(x.shape)
+    # align trailing dims; -1 keeps the existing size
+    full = [1] * (len(sizes) - len(shape)) + shape
+    out = [f if s == -1 else s for s, f in zip(sizes, full)]
+    return [jnp.broadcast_to(jnp.reshape(x, full), out)]
+
+
+@aten("aten::cat", "aten::concat")
+def _cat(a, meta):
+    import jax.numpy as jnp
+
+    dim = int(a[1]) if len(a) > 1 else 0
+    return [jnp.concatenate(a[0], axis=dim)]
+
+
+@aten("aten::stack")
+def _stack(a, meta):
+    import jax.numpy as jnp
+
+    dim = int(a[1]) if len(a) > 1 else 0
+    return [jnp.stack(a[0], axis=dim)]
+
+
+@aten("aten::flatten_dense_tensors")
+def _flatten_dense(a, meta):
+    import jax.numpy as jnp
+
+    return [jnp.concatenate([jnp.reshape(t, (-1,)) for t in a[0]])]
+
+
+@aten("aten::unflatten_dense_tensors")
+def _unflatten_dense(a, meta):
+    import jax.numpy as jnp
+
+    flat, like = a[0], a[1]
+    outs, off = [], 0
+    for t in like:
+        n = int(np.prod(t.shape)) if t.ndim else 1
+        outs.append(jnp.reshape(flat[off:off + n], t.shape))
+        off += n
+    return [outs]
+
+
+@aten("aten::embedding")
+def _embedding(a, meta):
+    return [a[0][a[1].astype("int32")]]
+
+
+@aten("aten::layer_norm")
+def _layer_norm(a, meta):
+    import jax.numpy as jnp
+
+    x = a[0]
+    nshape = [int(d) for d in a[1]]
+    axes = tuple(range(x.ndim - len(nshape), x.ndim))
+    eps = a[4] if len(a) > 4 and isinstance(a[4], float) else 1e-5
+    mu = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    out = (x - mu) / jnp.sqrt(var + eps)
+    if len(a) > 2 and a[2] is not None:
+        out = out * a[2]
+    if len(a) > 3 and a[3] is not None:
+        out = out + a[3]
+    return [out]
+
+
+def _conv_fwd(x, w, stride, padding, dilation, groups):
+    import jax.lax as lax
+
+    return lax.conv_general_dilated(
+        x, w,
+        window_strides=_as_pair(stride),
+        padding=[(p, p) for p in _as_pair(padding)],
+        rhs_dilation=_as_pair(dilation),
+        feature_group_count=int(groups),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+
+
+@aten("aten::conv2d", "aten::convolution", "aten::_convolution")
+def _conv2d(a, meta):
+    import jax.numpy as jnp
+
+    x, w, b = a[0], a[1], a[2]
+    stride, padding, dilation = a[3], a[4], a[5]
+    if meta["name"] == "aten::conv2d":
+        groups = a[6] if len(a) > 6 else 1
+    else:  # convolution(..., transposed, output_padding, groups)
+        if a[6]:
+            raise UnsupportedOp("transposed convolution")
+        groups = a[8]
+    out = _conv_fwd(x, w, stride, padding, dilation, groups)
+    if b is not None:
+        out = out + jnp.reshape(b, (1, -1, 1, 1))
+    return [out]
+
+
+@aten("aten::convolution_backward")
+def _conv_backward(a, meta):
+    import jax
+    import jax.numpy as jnp
+
+    grad_out, x, w = a[0], a[1], a[2]
+    stride, padding, dilation = a[4], a[5], a[6]
+    transposed, groups = a[7], a[9]
+    if transposed:
+        raise UnsupportedOp("transposed convolution backward")
+    _, vjp = jax.vjp(
+        lambda xx, ww: _conv_fwd(xx, ww, stride, padding, dilation, groups),
+        x, w,
+    )
+    gi, gw = vjp(grad_out)
+    gb = jnp.sum(grad_out, axis=(0, 2, 3))
+    return [gi, gw, gb]
+
+
+def _bn_stats(x, eps):
+    import jax.numpy as jnp
+
+    axes = (0,) + tuple(range(2, x.ndim))
+    mu = jnp.mean(x, axis=axes)
+    var = jnp.var(x, axis=axes)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    xhat = (x - jnp.reshape(mu, shape)) / jnp.sqrt(
+        jnp.reshape(var, shape) + eps)
+    return xhat, mu, var, axes, shape
+
+
+@aten("aten::batch_norm", "aten::cudnn_batch_norm", "aten::native_batch_norm")
+def _batch_norm(a, meta):
+    import jax.numpy as jnp
+
+    x, w, b, rm, rv = a[0], a[1], a[2], a[3], a[4]
+    training = bool(a[5]) if len(a) > 5 else True
+    eps = a[7] if len(a) > 7 and isinstance(a[7], float) else 1e-5
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    if training or rm is None:
+        xhat, mu, var, _, _ = _bn_stats(x, eps)
+    else:
+        mu, var = rm, rv
+        xhat = (x - jnp.reshape(mu, shape)) / jnp.sqrt(
+            jnp.reshape(var, shape) + eps)
+    out = xhat
+    if w is not None:
+        out = out * jnp.reshape(w, shape)
+    if b is not None:
+        out = out + jnp.reshape(b, shape)
+    if meta["name"] == "aten::batch_norm":
+        return [out]
+    save_mean = mu
+    save_invstd = 1.0 / jnp.sqrt(var + eps)
+    if meta["name"] == "aten::cudnn_batch_norm":
+        reserve = jnp.zeros((0,), dtype=np.uint8)
+        return [out, save_mean, save_invstd, reserve]
+    return [out, save_mean, save_invstd]
+
+
+@aten("aten::cudnn_batch_norm_backward", "aten::native_batch_norm_backward")
+def _batch_norm_backward(a, meta):
+    import jax.numpy as jnp
+
+    if meta["name"] == "aten::cudnn_batch_norm_backward":
+        x, grad_out, w = a[0], a[1], a[2]
+        eps = a[7] if len(a) > 7 and isinstance(a[7], float) else 1e-5
+    else:  # native: (grad_out, input, weight, rm, rv, save_m, save_i, train, eps, mask)
+        grad_out, x, w = a[0], a[1], a[2]
+        eps = a[8] if len(a) > 8 and isinstance(a[8], float) else 1e-5
+    # recompute batch stats from the input (training-mode backward)
+    xhat, mu, var, axes, shape = _bn_stats(x, eps)
+    n = float(np.prod([x.shape[i] for i in axes]))
+    gw = jnp.sum(grad_out * xhat, axis=axes)
+    gb = jnp.sum(grad_out, axis=axes)
+    wv = jnp.ones_like(gw) if w is None else w
+    invstd = 1.0 / jnp.sqrt(var + eps)
+    gi = (jnp.reshape(wv * invstd, shape) / n) * (
+        n * grad_out
+        - jnp.reshape(gb, shape)
+        - xhat * jnp.reshape(gw, shape)
+    )
+    return [gi, gw, gb]
+
+
+def _pool_dims(x, kernel, stride, padding):
+    k = _as_pair(kernel)
+    s = _as_pair(stride) if (isinstance(stride, (list, tuple)) and stride) \
+        or isinstance(stride, int) else k
+    p = _as_pair(padding)
+    return k, s, p
+
+
+def _max_pool_fwd(x, kernel, stride, padding):
+    import jax.lax as lax
+
+    k, s, p = _pool_dims(x, kernel, stride, padding)
+    return lax.reduce_window(
+        x, -np.inf if np.issubdtype(x.dtype, np.floating) else np.iinfo(
+            x.dtype).min,
+        lax.max,
+        window_dimensions=(1, 1) + k,
+        window_strides=(1, 1) + s,
+        padding=((0, 0), (0, 0), (p[0], p[0]), (p[1], p[1])),
+    )
+
+
+@aten("aten::max_pool2d", "aten::max_pool2d_with_indices")
+def _max_pool2d(a, meta):
+    import jax.numpy as jnp
+
+    out = _max_pool_fwd(a[0], a[1], a[2] if len(a) > 2 else None,
+                        a[3] if len(a) > 3 else 0)
+    if meta["name"] == "aten::max_pool2d_with_indices":
+        # indices are only consumed by the backward, which replays via VJP
+        return [out, jnp.zeros(out.shape, dtype=jnp.int64)]
+    return [out]
+
+
+@aten("aten::max_pool2d_with_indices_backward")
+def _max_pool2d_backward(a, meta):
+    import jax
+
+    grad, x = a[0], a[1]
+    kernel, stride, padding = a[2], a[3], a[4]
+    _, vjp = jax.vjp(lambda v: _max_pool_fwd(v, kernel, stride, padding), x)
+    return [vjp(grad)[0]]
+
+
+@aten("aten::adaptive_avg_pool2d", "aten::_adaptive_avg_pool2d")
+def _adaptive_avg_pool2d(a, meta):
+    import jax.numpy as jnp
+
+    x, out_size = a[0], [int(d) for d in a[1]]
+    h, w = x.shape[2], x.shape[3]
+    oh, ow = out_size
+    if (oh, ow) == (1, 1):
+        return [jnp.mean(x, axis=(2, 3), keepdims=True)]
+    if h % oh == 0 and w % ow == 0:
+        r = jnp.reshape(x, x.shape[:2] + (oh, h // oh, ow, w // ow))
+        return [jnp.mean(r, axis=(3, 5))]
+    raise UnsupportedOp(f"adaptive_avg_pool2d {h, w} -> {oh, ow}")
+
+
+@aten("aten::_adaptive_avg_pool2d_backward",
+      "aten::adaptive_avg_pool2d_backward")
+def _adaptive_avg_pool2d_backward(a, meta):
+    import jax.numpy as jnp
+
+    grad, x = a[0], a[1]
+    h, w = x.shape[2], x.shape[3]
+    oh, ow = grad.shape[2], grad.shape[3]
+    if h % oh or w % ow:
+        raise UnsupportedOp("non-divisible adaptive pool backward")
+    g = grad / ((h // oh) * (w // ow))
+    g = jnp.broadcast_to(
+        g[:, :, :, None, :, None],
+        grad.shape[:2] + (oh, h // oh, ow, w // ow),
+    )
+    return [jnp.reshape(g, x.shape)]
+
+
+@aten("aten::ones", "aten::zeros", "aten::empty", "aten::empty_strided")
+def _factory(a, meta):
+    import jax.numpy as jnp
+
+    shape = [int(d) for d in a[0]] if isinstance(a[0], (list, tuple)) else []
+    fill = jnp.ones if meta["name"] == "aten::ones" else jnp.zeros
+    return [fill(shape, dtype=jnp.float32)]
+
+
+@aten("aten::full")
+def _full(a, meta):
+    import jax.numpy as jnp
+
+    shape = [int(d) for d in a[0]] if isinstance(a[0], (list, tuple)) else []
+    return [jnp.full(shape, a[1], dtype=jnp.float32)]
+
+
+@aten("aten::arange")
+def _arange(a, meta):
+    import jax.numpy as jnp
+
+    lits = [x for x in a if isinstance(x, (int, float))]
+    if len(lits) >= 3:
+        return [jnp.arange(lits[0], lits[1], lits[2])]
+    if len(lits) == 2:
+        return [jnp.arange(lits[0], lits[1])]
+    return [jnp.arange(lits[0])]
+
+
+@aten("aten::item")
+def _item(a, meta):
+    import jax.numpy as jnp
+
+    return [jnp.reshape(a[0], (-1,))[0]]
+
+
+@aten("aten::slice")
+def _slice(a, meta):
+    import jax.lax as lax
+
+    x, dim = a[0], int(a[1])
+    start = int(a[2]) if a[2] is not None else 0
+    end = int(a[3]) if a[3] is not None else x.shape[dim]
+    step = int(a[4]) if len(a) > 4 and a[4] is not None else 1
+    end = min(end, x.shape[dim])
+    if start < 0:
+        start += x.shape[dim]
+    if end < 0:
+        end += x.shape[dim]
+    return [lax.slice_in_dim(x, start, end, stride=step, axis=dim)]
+
+
+@aten("aten::slice_backward")
+def _slice_backward(a, meta):
+    import jax.numpy as jnp
+
+    grad, sizes, dim = a[0], [int(d) for d in a[1]], int(a[2])
+    start = int(a[3]) if a[3] is not None else 0
+    step = int(a[5]) if len(a) > 5 and a[5] is not None else 1
+    if step != 1:
+        raise UnsupportedOp("strided slice_backward")
+    out = jnp.zeros(sizes, dtype=grad.dtype)
+    idx = [slice(None)] * len(sizes)
+    idx[dim] = slice(start, start + grad.shape[dim])
+    return [out.at[tuple(idx)].set(grad)]
+
+
+@aten("aten::unsqueeze")
+def _unsqueeze(a, meta):
+    import jax.numpy as jnp
+
+    return [jnp.expand_dims(a[0], int(a[1]))]
+
+
+@aten("aten::squeeze")
+def _squeeze(a, meta):
+    import jax.numpy as jnp
+
+    if len(a) > 1 and isinstance(a[1], int):
+        x = a[0]
+        return [jnp.squeeze(x, a[1]) if x.shape[a[1]] == 1 else x]
+    return [jnp.squeeze(a[0])]
+
+
+@aten("aten::split")
+def _split(a, meta):
+    import jax.numpy as jnp
+
+    x = a[0]
+    dim = int(a[2]) if len(a) > 2 else 0
+    if isinstance(a[1], (list, tuple)):
+        splits = np.cumsum([int(s) for s in a[1]])[:-1].tolist()
+    else:
+        step = int(a[1])
+        splits = list(range(step, x.shape[dim], step))
+    return [jnp.split(x, splits, axis=dim)]
+
+
+@aten("aten::where")
+def _where(a, meta):
+    import jax.numpy as jnp
+
+    return [jnp.where(a[0], a[1], a[2])]
+
+
+@aten("aten::dropout", "aten::dropout_")
+def _dropout(a, meta):
+    # values-identity (eval semantics); torch's train-mode mask generation
+    # is a fused RNG the recorded stream doesn't expose as a separate op
+    return [a[0]]
+
+
+@aten("aten::native_dropout")
+def _native_dropout(a, meta):
+    import jax.numpy as jnp
+
+    return [a[0], jnp.ones(a[0].shape, dtype=jnp.bool_)]
+
+
+@aten("aten::native_dropout_backward")
+def _native_dropout_backward(a, meta):
+    grad, mask, scale = a[0], a[1], a[2]
+    return [grad * mask.astype(grad.dtype) * scale]
+
+
+@aten("aten::tanh_backward")
+def _tanh_backward(a, meta):
+    grad, out = a[0], a[1]
+    return [grad * (1 - out * out)]
+
+
+@aten("aten::native_layer_norm")
+def _native_layer_norm(a, meta):
+    import jax.numpy as jnp
+
+    x = a[0]
+    nshape = [int(d) for d in a[1]]
+    axes = tuple(range(x.ndim - len(nshape), x.ndim))
+    eps = a[4] if len(a) > 4 and isinstance(a[4], float) else 1e-5
+    mu = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    rstd = 1.0 / jnp.sqrt(var + eps)
+    out = (x - mu) * rstd
+    if len(a) > 2 and a[2] is not None:
+        out = out * a[2]
+    if len(a) > 3 and a[3] is not None:
+        out = out + a[3]
+    return [out, mu, rstd]
+
+
+@aten("aten::native_layer_norm_backward")
+def _native_layer_norm_backward(a, meta):
+    import jax
+    import jax.numpy as jnp
+
+    # (grad_out, input, normalized_shape, mean, rstd, weight, bias, mask)
+    grad_out, x = a[0], a[1]
+    nshape = [int(d) for d in a[2]]
+    w = a[5] if len(a) > 5 else None
+    axes = tuple(range(x.ndim - len(nshape), x.ndim))
+    eps = 1e-5
+
+    def fwd(xx, ww):
+        mu = jnp.mean(xx, axis=axes, keepdims=True)
+        var = jnp.var(xx, axis=axes, keepdims=True)
+        out = (xx - mu) / jnp.sqrt(var + eps)
+        return out * ww
+
+    wv = jnp.ones(nshape, dtype=x.dtype) if w is None else w
+    _, vjp = jax.vjp(fwd, x, wv)
+    gi, gw = vjp(grad_out)
+    bdims = tuple(range(x.ndim - len(nshape)))
+    gb = jnp.sum(grad_out, axis=bdims)
+    return [gi, gw, gb]
+
+
+@aten("aten::embedding_backward", "aten::embedding_dense_backward")
+def _embedding_backward(a, meta):
+    import jax.numpy as jnp
+
+    grad, idx, num_weights = a[0], a[1], int(a[2])
+    flat_idx = jnp.reshape(idx, (-1,)).astype(jnp.int32)
+    flat_grad = jnp.reshape(grad, (-1, grad.shape[-1]))
+    out = jnp.zeros((num_weights, grad.shape[-1]), dtype=grad.dtype)
+    return [out.at[flat_idx].add(flat_grad)]
+
+
+@aten("aten::_foreach_sqrt")
+def _foreach_sqrt(a, meta):
+    import jax.numpy as jnp
+
+    return [[jnp.sqrt(t) for t in a[0]]]
+
+
+@aten("aten::_foreach_div_", "aten::_foreach_div")
+def _foreach_div(a, meta):
+    other = a[1]
+    if isinstance(other, list):
+        return [[t / o for t, o in zip(a[0], other)]]
+    return [[t / other for t in a[0]]]
+
+
+@aten("aten::_foreach_lerp_", "aten::_foreach_lerp")
+def _foreach_lerp(a, meta):
+    w = a[2]
+    if isinstance(w, list):
+        return [[t + ww * (e - t) for t, e, ww in zip(a[0], a[1], w)]]
+    return [[t + w * (e - t) for t, e in zip(a[0], a[1])]]
+
+
+@aten("aten::_foreach_addcmul_", "aten::_foreach_addcmul")
+def _foreach_addcmul(a, meta):
+    val = a[3] if len(a) > 3 else 1
+    return [[t + val * x * y for t, x, y in zip(a[0], a[1], a[2])]]
+
+
+@aten("aten::_foreach_addcdiv_", "aten::_foreach_addcdiv")
+def _foreach_addcdiv(a, meta):
+    val = a[3] if len(a) > 3 else 1
+    return [[t + val * x / y for t, x, y in zip(a[0], a[1], a[2])]]
+
+
+def supported_aten_ops() -> List[str]:
+    return sorted(_ATEN)
+
+
+# --------------------------------------------------------------------------
+# the replayer
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class OpStat:
+    count: int = 0
+    lat_us: List[float] = field(default_factory=list)
+
+    def total_us(self) -> float:
+        return sum(self.lat_us)
+
+
+class PyTorchOpReplay:
+    """Op-level compute replay of a PyTorch ET on the current JAX backend.
+
+    Reference analogue: ``et_replay/tools/et_replay.py`` ReplayManager in
+    ``ReplayMode.COMP`` (``:468`` extract_subgraph, ``:829`` build_func).
+    """
+
+    def __init__(
+        self,
+        data: Dict[str, Any],
+        max_ops: Optional[int] = None,
+        skip_names: Optional[set] = None,
+        skip_config_path: Optional[str] = None,
+    ):
+        self.et = PyTorchETrace(data)
+        self.max_ops = max_ops
+        self.skip_names = set(skip_names or ())
+        self.skip_config_path = skip_config_path
+        self.nodes: List[PtNode] = []
+        self.registry: Dict[Tuple[int, int], Any] = {}
+        self.stats: Dict[str, OpStat] = {}
+        self.skipped: Dict[str, str] = {}  # name -> reason
+        self._jit_cache: Dict[Any, Any] = {}
+        self._select_nodes()
+
+    # ------------------------------------------------------------ selection
+    def _select_nodes(self) -> None:
+        """Top-most op_schema nodes in id order, windowed to the first
+        ProfilerStep interval (reference extract_subgraph semantics)."""
+        by_id = self.et.by_id
+        children: Dict[int, List[PtNode]] = {}
+        roots: List[PtNode] = []
+        for n in self.et.nodes:
+            if n.parent in by_id and n.parent != n.id:
+                children.setdefault(n.parent, []).append(n)
+            else:
+                roots.append(n)
+        picked: List[PtNode] = []
+        step_ids: List[int] = []
+
+        def dfs(n: PtNode) -> None:
+            if "ProfilerStep" in n.name:
+                step_ids.append(n.id)
+            if n.is_operator():
+                picked.append(n)
+                return
+            for c in sorted(children.get(n.id, []), key=lambda x: x.id):
+                dfs(c)
+
+        for r in sorted(roots, key=lambda x: x.id):
+            dfs(r)
+        picked.sort(key=lambda x: x.id)
+        step_ids.sort()
+        if len(step_ids) > 1:
+            picked = [n for n in picked
+                      if step_ids[0] < n.id < step_ids[1]]
+        # compute mode: comm records belong to the comm replayer
+        picked = [n for n in picked if n.name != "record_param_comms"]
+        if self.max_ops:
+            picked = picked[: self.max_ops]
+        self.nodes = picked
+
+    # -------------------------------------------------------- tensor plumb
+    def _materialize(self, desc, type_token: str):
+        import jax.numpy as jnp
+
+        key = _tensor_key(desc)
+        shape = self._shape_of(desc)
+        dt = _np_dtype(type_token)
+        rng = np.random.default_rng(0 if key is None else key[0])
+        if np.issubdtype(np.dtype(dt) if dt != jnp.bfloat16 else np.float32,
+                         np.floating) or dt == jnp.bfloat16:
+            arr = rng.random(shape, dtype=np.float32).astype(dt)
+        elif dt == np.bool_:
+            # all-true masks keep the dataflow live (dropout masks, where
+            # conditions) — zeros would zero out whole branches
+            arr = np.ones(shape, dtype=np.bool_)
+        else:
+            # ones are always-safe indices/targets (reference materializes
+            # unknown int tensors as ones too, et_replay.py:936-941)
+            arr = np.ones(shape, dtype=dt)
+        return jnp.asarray(arr)
+
+    def _shape_of(self, desc) -> Tuple[int, ...]:
+        # shape comes from the per-slot shapes metadata captured in resolve
+        return tuple(self._cur_shape)
+
+    def _resolve_tensor(self, desc, shape, type_token):
+        key = _tensor_key(desc)
+        if key is None:
+            return None
+        self._cur_shape = [int(d) for d in shape]
+        if key in self.registry:
+            val = self.registry[key]
+            want = tuple(self._cur_shape)
+            if tuple(val.shape) == want:
+                return val
+            if int(np.prod(val.shape)) == int(np.prod(want)):
+                import jax.numpy as jnp
+
+                return jnp.reshape(val, want)
+        val = self._materialize(desc, type_token)
+        self.registry[key] = val
+        return val
+
+    def _resolve_args(self, node: PtNode):
+        """-> (args, arrays, spec): args with arrays in tensor slots;
+        arrays flat-listed for jit; spec distinguishes compile signatures."""
+        args: List[Any] = []
+        arrays: List[Any] = []
+        spec: List[Any] = []
+        for i, (v, t) in enumerate(zip(node.inputs, node.input_types)):
+            shape = node.input_shapes[i] if i < len(node.input_shapes) else []
+            if _is_tensor_slot(t):
+                arr = self._resolve_tensor(v, shape, t)
+                args.append(arr)
+                if arr is None:
+                    spec.append(("null",))
+                else:
+                    arrays.append(arr)
+                    spec.append(("T", tuple(arr.shape), str(arr.dtype)))
+            elif _is_tensor_list_slot(t):
+                toks = t[len("GenericList["):-1].split(",")
+                lst = []
+                for j, d in enumerate(v):
+                    tok = toks[min(j, len(toks) - 1)]
+                    arr = self._resolve_tensor(
+                        d, shape[j] if j < len(shape) else [], tok)
+                    lst.append(arr)
+                    arrays.append(arr)
+                args.append(lst)
+                spec.append(("L", tuple(
+                    (tuple(x.shape), str(x.dtype)) for x in lst)))
+            else:
+                # missing optionals: type "None" / value "<None>" (1.1.0)
+                lit = None if (t == "None" or v == "<None>") else v
+                args.append(lit)
+                spec.append(("lit", repr(lit)))
+        return args, arrays, tuple(spec)
+
+    def _register_outputs(self, node: PtNode, outs: List[Any]) -> None:
+        for j, (v, t) in enumerate(zip(node.outputs, node.output_types)):
+            if j >= len(outs):
+                break
+            if _is_tensor_slot(t):
+                key = _tensor_key(v)
+                if key is not None and outs[j] is not None:
+                    self.registry[key] = outs[j]
+            elif _is_tensor_list_slot(t) and isinstance(outs[j], list):
+                for d, val in zip(v, outs[j]):
+                    key = _tensor_key(d)
+                    if key is not None:
+                        self.registry[key] = val
+
+    # ------------------------------------------------------------ execution
+    def _compiled(self, node: PtNode, args, arrays, spec):
+        """One jit program per distinct (op, signature) — the reference's
+        per-node TorchScript func, shared across equal-signature nodes."""
+        import jax
+
+        key = (node.name, node.op_schema, spec)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        impl = _ATEN[node.name]
+        meta = {"name": node.name, "schema": node.op_schema}
+
+        def rebuild(arrs):
+            out, it = [], iter(arrs)
+            for s, a in zip(spec, args):
+                if s[0] == "T":
+                    out.append(next(it))
+                elif s[0] == "L":
+                    out.append([next(it) for _ in a])
+                else:
+                    out.append(a)
+            return out
+
+        def run(*arrs):
+            return impl(rebuild(list(arrs)), meta)
+
+        fn = jax.jit(run)
+        self._jit_cache[key] = fn
+        return fn
+
+    def run_node(self, node: PtNode, timed: bool = True) -> Optional[float]:
+        """Replay one node; returns latency in us (None if skipped)."""
+        import jax
+
+        if node.name in self.skip_names or node.name in self.skipped:
+            return None
+        if node.name not in _ATEN:
+            self._skip(node, "no JAX mapping")
+            return None
+        try:
+            args, arrays, spec = self._resolve_args(node)
+            fn = self._compiled(node, args, arrays, spec)
+            if timed:
+                outs = fn(*arrays)  # warm/compile outside the timed window
+                jax.block_until_ready(outs)
+                t0 = time.perf_counter()
+                outs = fn(*arrays)
+                jax.block_until_ready(outs)
+                dt = (time.perf_counter() - t0) * 1e6
+            else:
+                outs = fn(*arrays)
+                dt = 0.0
+            self._register_outputs(node, list(outs))
+            st = self.stats.setdefault(node.name, OpStat())
+            st.count += 1
+            if timed:
+                st.lat_us.append(dt)
+            return dt
+        except UnsupportedOp as e:
+            self._skip(node, str(e))
+        except Exception as e:  # degrade, reference skip-config semantics
+            self._skip(node, f"{type(e).__name__}: {e}")
+        return None
+
+    def _skip(self, node: PtNode, reason: str) -> None:
+        if node.name not in self.skipped:
+            log.warning("skipping %s: %s", node.name, reason)
+            self.skipped[node.name] = reason
+            if self.skip_config_path:
+                import json
+
+                with open(self.skip_config_path, "w") as f:
+                    json.dump({"skip nodes": self.skipped}, f, indent=1)
+
+    def replay(self, iters: int = 1, timed: bool = True) -> Dict[str, Any]:
+        """Discrete-mode replay: every selected node, per-op latency."""
+        t0 = time.perf_counter()
+        executed = 0
+        for _ in range(max(1, iters)):
+            for node in self.nodes:
+                if self.run_node(node, timed=timed) is not None:
+                    executed += 1
+        wall = time.perf_counter() - t0
+        return self.report(executed, wall, iters)
+
+    def report(self, executed: int, wall_s: float, iters: int):
+        per_op = {
+            name: {
+                "count": st.count,
+                "p50_us": percentile(st.lat_us, 50) if st.lat_us else 0.0,
+                "total_us": st.total_us(),
+            }
+            for name, st in sorted(
+                self.stats.items(),
+                key=lambda kv: -kv[1].total_us())
+        }
+        return {
+            "num_selected": len(self.nodes),
+            "num_executed": executed,
+            "num_skipped_names": len(self.skipped),
+            "skipped": dict(self.skipped),
+            "wall_s": wall_s,
+            "iters_per_s": iters / wall_s if wall_s > 0 else 0.0,
+            "per_op": per_op,
+        }
+
+    # ---------------------------------------------------------- chain mode
+    def build_chain(self) -> Callable[[int], Any]:
+        """The whole supported op stream as ONE fused XLA program, chained
+        n times device-side — time with measure_chain (trustworthy on
+        remote-attached TPUs; the reference has no analogue: its replay is
+        eager per-op CUDA)."""
+        import jax
+        import jax.numpy as jnp
+
+        # materialize the external inputs ONCE via an untimed discrete pass
+        # (also decides which nodes execute)
+        self.replay(iters=1, timed=False)
+        runnable = [n for n in self.nodes
+                    if n.name in _ATEN and n.name not in self.skipped]
+        ext_keys = list(self.registry)
+        ext_vals = [self.registry[k] for k in ext_keys]
+        float_pos = [i for i, v in enumerate(ext_vals)
+                     if np.issubdtype(np.asarray(v).dtype, np.floating)]
+
+        def one_iter(vals):
+            saved = dict(self.registry)
+            self.registry = dict(zip(ext_keys, vals))
+            outs_scalar = jnp.float32(0)
+            for node in runnable:
+                args, arrays, spec = self._resolve_args(node)
+                impl = _ATEN[node.name]
+                outs = impl(args, {"name": node.name,
+                                   "schema": node.op_schema})
+                self._register_outputs(node, list(outs))
+                for o in outs:
+                    for leaf in (o if isinstance(o, list) else [o]):
+                        if leaf is not None and jnp.issubdtype(
+                                leaf.dtype, jnp.floating):
+                            # tiny weight keeps values finite while giving
+                            # every op a data edge into the chain carry
+                            outs_scalar = outs_scalar + jnp.sum(
+                                leaf.astype(jnp.float32)
+                            ) * jnp.float32(1e-30)
+            self.registry = saved
+            return outs_scalar
+
+        def chain(n: int):
+            @jax.jit
+            def prog(vals):
+                def body(carry, _):
+                    vals2 = list(vals)
+                    if float_pos:
+                        i = float_pos[0]
+                        vals2[i] = vals2[i] + carry.astype(vals2[i].dtype)
+                    s = one_iter(vals2)
+                    return s, None
+
+                s, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+                return s
+
+            return prog(ext_vals)
+
+        return chain
+
+    def measure_chain_iteration(self, n_hi: int = 8,
+                                max_n: int = 64) -> float:
+        """Seconds per full trace iteration via scalar-fetch delta-N."""
+        from param_tpu.comms.timing import measure_chain
+
+        chain = self.build_chain()
+        return measure_chain(chain, n_lo=1, n_hi=n_hi, max_n=max_n)
