@@ -113,9 +113,11 @@ class CommsReplay:
             # ops — legacy traces without pg info get world_size defaulted
             # to the LIVE world by the parser, so 8-long splits would sail
             # unshrunk into a 4-rank replay (found by the multi-process
-            # production-trace test)
-            old = max(op.world_size or 0, len(op.in_split or ()),
-                      len(op.out_split or ())) or world
+            # production-trace test) and, growing, max() would mask an
+            # 8-long split behind a live-world world_size (found by the
+            # n=16 dryrun gate)
+            split_len = max(len(op.in_split or ()), len(op.out_split or ()))
+            old = split_len or op.world_size or world
             if old == world:
                 continue
             if op.comms in ("all_to_all", "all_to_all_single", "all_to_allv"):

@@ -266,6 +266,26 @@ class TestReplayOnMesh:
         a2av = [o for o in rp.ops if o.comms == "all_to_allv"][0]
         assert a2av.world_size == 8
 
+    def test_auto_shrink_grows_splits(self, backend):
+        """Growing a smaller-world trace must EXPAND the a2av splits to the
+        live world even when the parser defaulted world_size to the live
+        world (found by the n=16 dryrun gate: an 8-long split behind a
+        16-rank world_size built a (16,8) split matrix)."""
+        fx = modern_et_fixture(world=2)
+        rp = CommsReplay(
+            backend,
+            ReplayParams(trace_type="pytorch_et", auto_shrink=True,
+                         num_replays=1, blocking=True),
+        )
+        rp.load(fx)
+        world = backend.get_world_size()
+        for op in rp.ops:
+            if op.comms == "all_to_allv":
+                assert len(op.in_split) == world, op.in_split
+                assert len(op.out_split) == world, op.out_split
+                assert op.in_msg_size == sum(op.in_split)
+        assert rp.replay_once() > 0
+
 
 # ------------------------------------------------- reference cross-checks
 @pytest.mark.skipif(not os.path.isdir(REF_INPUTS),
