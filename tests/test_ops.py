@@ -52,6 +52,19 @@ class TestMatmul:
     def test_flops(self):
         assert gemm_flops(2, 3, 4) == 48
 
+    def test_weight_resident_matches_einsum(self):
+        """S small-M GEMMs against one VMEM-resident B (the reference's
+        warm-weight torch.mm loop semantics, pytorch_gemm.py:95-137)."""
+        from param_tpu.ops.matmul import matmul_weight_resident
+
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.random((4, 64, 128), dtype=np.float32))
+        b = jnp.asarray(rng.random((128, 256), dtype=np.float32))
+        got = matmul_weight_resident(a, b, block_n=128)
+        want = np.einsum("smk,kn->smn", np.asarray(a), np.asarray(b))
+        assert got.shape == (4, 64, 256)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4)
+
 
 class TestEmbeddingBag:
     def test_sum_pooling(self):
