@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
         description="ATen-op-level compute replay of PyTorch ETs on TPU",
     )
     ap.add_argument("--trace", required=True, help="ET json(.gz/.tar.gz)")
+    ap.add_argument("--mode", default="comp", choices=["comp", "full"],
+                    help="comp = ATen stream only; full = interleave the "
+                         "record_param_comms nodes through the backend at "
+                         "their recorded positions (reference ReplayMode)")
+    ap.add_argument("--target-rank", type=int, default=0)
+    ap.add_argument("--backend", default="tpu")
     ap.add_argument("--iters", type=int, default=1)
     ap.add_argument("--max-ops", type=int, default=None,
                     help="replay only the first N selected ops")
@@ -69,9 +75,16 @@ def main(argv=None) -> int:
         if os.path.exists(ns.skip_config):
             with open(ns.skip_config) as f:
                 skip = set(json.load(f).get("skip nodes", {}))
+    backend = None
+    if ns.mode == "full":
+        from param_tpu.backend.base import get_backend_cls
+
+        backend = get_backend_cls(ns.backend)()
+        backend.initialize()
     replayer = PyTorchOpReplay(
         data, max_ops=ns.max_ops, skip_names=skip,
-        skip_config_path=ns.skip_config,
+        skip_config_path=ns.skip_config, mode=ns.mode, backend=backend,
+        target_rank=ns.target_rank,
     )
     print(f"selected {len(replayer.nodes)} ATen ops "
           f"(schema {replayer.et.schema})")

@@ -81,14 +81,14 @@ def _is_tensor_slot(type_token: str) -> bool:
 
 
 def _is_tensor_list_slot(type_token: str) -> bool:
-    return "GenericList[Tensor" in (type_token or "")
+    # index lists can LEAD with None slots: GenericList[None,Tensor(long)]
+    t = type_token or ""
+    return t.startswith("GenericList[") and "Tensor" in t
 
 
 def _tensor_key(desc: Any) -> Optional[Tuple[int, int]]:
-    """(tensor_id, storage_id) registry key; None for nullptr tensors."""
+    """(tensor_id, storage_id) registry key; None for non-tensor descs."""
     if not isinstance(desc, (list, tuple)) or len(desc) < 4:
-        return None
-    if not desc[3]:  # numel 0 == uninitialized / undefined tensor
         return None
     return (int(desc[0]), int(desc[1]))
 
@@ -253,10 +253,10 @@ def _sum_mean(a, meta):
     dims = None
     keepdim = False
     if len(a) > 1 and isinstance(a[1], (list, tuple)) and a[1]:
-        dims = tuple(int(d) for d in a[1])
+        dims = tuple(int(d) for d in a[1] if int(d) < x.ndim) or None
         if len(a) > 2 and isinstance(a[2], bool):
             keepdim = a[2]
-    return [fn(x, axis=dims, keepdims=keepdim)]
+    return [fn(x, axis=dims, keepdims=keepdim if dims else False)]
 
 
 @aten("aten::view", "aten::reshape", "aten::_unsafe_view")
@@ -986,6 +986,176 @@ def _foreach_addcdiv(a, meta):
     return [[t + val * x / y for t, x, y in zip(a[0], a[1], a[2])]]
 
 
+@aten("aten::narrow")
+def _narrow(a, meta):
+    import jax.lax as lax
+
+    x, dim, start, length = a[0], int(a[1]), int(a[2]), int(a[3])
+    if start < 0:
+        start += x.shape[dim]
+    return [lax.slice_in_dim(x, start, start + length, axis=dim)]
+
+
+@aten("aten::select")
+def _select(a, meta):
+    import jax.numpy as jnp
+
+    x, dim, index = a[0], int(a[1]), int(a[2])
+    return [jnp.take(x, index, axis=dim)]
+
+
+@aten("aten::record_stream", "fbgemm::bounds_check_indices")
+def _noop(a, meta):
+    return []  # stream bookkeeping / in-place checks: no outputs
+
+
+@aten("aten::pin_memory", "aten::resolve_conj", "aten::resolve_neg")
+def _identity_move(a, meta):
+    return [a[0]]
+
+
+@aten("aten::numpy_T")
+def _numpy_t(a, meta):
+    import jax.numpy as jnp
+
+    return [jnp.transpose(a[0])]
+
+
+@aten("aten::new_zeros", "aten::new_empty")
+def _new_zeros(a, meta):
+    import jax.numpy as jnp
+
+    shape = [int(d) for d in a[1]] if isinstance(a[1], (list, tuple)) else []
+    return [jnp.zeros(shape, dtype=a[0].dtype)]
+
+
+@aten("aten::split_with_sizes")
+def _split_with_sizes(a, meta):
+    import jax.numpy as jnp
+
+    x, sizes = a[0], [int(s) for s in a[1]]
+    dim = int(a[2]) if len(a) > 2 else 0
+    return [jnp.split(x, np.cumsum(sizes)[:-1].tolist(), axis=dim)]
+
+
+@aten("aten::cumsum")
+def _cumsum(a, meta):
+    import jax.numpy as jnp
+
+    return [jnp.cumsum(a[0], axis=int(a[1]) if len(a) > 1 else 0)]
+
+
+def _adv_index(lst):
+    """torch advanced-index tuple: None slots are full slices (torch
+    semantics for leading Nones in aten::index / index_put_)."""
+    if not isinstance(lst, list):
+        lst = [lst]
+    out = tuple(
+        slice(None) if (e is None or isinstance(e, str))
+        else e.astype("int32")
+        for e in lst
+    )
+    return out if any(not isinstance(e, slice) for e in out) else None
+
+
+@aten("aten::index")
+def _index(a, meta):
+    idx = _adv_index(a[1])
+    return [a[0] if idx is None else a[0][idx]]
+
+
+@aten("aten::_index_put_impl_", "aten::index_put_")
+def _index_put(a, meta):
+    idx = _adv_index(a[1])
+    if idx is None:
+        return [a[0]]
+    accumulate = bool(a[3]) if len(a) > 3 and isinstance(a[3], bool) else False
+    upd = a[0].at[idx]
+    return [upd.add(a[2]) if accumulate else upd.set(a[2])]
+
+
+@aten("aten::binary_cross_entropy_with_logits")
+def _bce_logits(a, meta):
+    import jax
+    import jax.numpy as jnp
+
+    logits, target = a[0], a[1]
+    reduction = _reduction(a[4] if len(a) > 4 else 1)
+    per = (jnp.maximum(logits, 0) - logits * target
+           + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    del jax
+    if reduction == "mean":
+        return [jnp.mean(per)]
+    if reduction == "sum":
+        return [jnp.sum(per)]
+    return [per]
+
+
+@aten("aten::binary_cross_entropy_with_logits_backward")
+def _bce_logits_bwd(a, meta):
+    import jax
+
+    grad, logits, target = a[0], a[1], a[2]
+    n = float(np.prod(logits.shape))
+    return [grad * (jax.nn.sigmoid(logits) - target) / n]
+
+
+# ---- fbgemm sparse plumbing (the DLRM production-trace op family) ------
+# The trace records tensor SHAPES but not contents, and these ops' output
+# layout depends on contents (CSR offsets, table dim maps).  The impls
+# synthesize a uniform bag structure with the SAME row count and HBM
+# traffic as the recorded op — the perf question ET replay answers — and
+# take the output shape from the trace (meta["out_shapes"]).  Reference:
+# the TorchScript replay has the same fidelity limit (materialized
+# storage is random there too, et_replay.py:891-941).
+
+
+@aten("fbgemm::asynchronous_complete_cumsum")
+def _fbgemm_cumsum(a, meta):
+    import jax.numpy as jnp
+
+    t = a[0]
+    return [jnp.concatenate([jnp.zeros((1,), t.dtype), jnp.cumsum(t)])]
+
+
+@aten("fbgemm::permute_2D_sparse_data")
+def _fbgemm_permute_2d(a, meta):
+    import jax.numpy as jnp
+
+    perm, lengths, values = a[0], a[1], a[2]
+    p = jnp.clip(perm.astype(jnp.int32), 0, lengths.shape[0] - 1)
+    return [jnp.take(lengths, p, axis=0), values, None]
+
+
+def _fbgemm_lookup(dev_weights, indices, out_shape):
+    """Uniform-layout embedding-bag lookup over the flat fbgemm weight
+    blob: gathers exactly len(indices) rows of D floats and segment-sums
+    them into (B, total_D) — the recorded op's row count and traffic."""
+    import jax.numpy as jnp
+
+    b, total_d = int(out_shape[0]), int(out_shape[1])
+    n_idx = indices.shape[0]
+    rows = max(1, dev_weights.shape[0] // max(total_d, 1))
+    table = dev_weights[: rows * total_d].reshape(rows, total_d)
+    idx = (indices.astype(jnp.int32) % rows)
+    gathered = jnp.take(table, idx, axis=0)  # (n_idx, total_D)
+    bag = (jnp.arange(n_idx, dtype=jnp.int32) * b) // max(n_idx, 1)
+    out = jnp.zeros((b, total_d), table.dtype).at[bag].add(gathered)
+    return out
+
+
+@aten("fbgemm::dense_embedding_codegen_lookup_function")
+def _fbgemm_dense_lookup(a, meta):
+    return [_fbgemm_lookup(a[0], a[7], meta["out_shapes"][0])]
+
+
+@aten("fbgemm::split_embedding_codegen_lookup_adagrad_function",
+      "fbgemm::split_embedding_codegen_lookup_sgd_function",
+      "fbgemm::split_embedding_codegen_lookup_rowwise_adagrad_function")
+def _fbgemm_split_lookup(a, meta):
+    return [_fbgemm_lookup(a[1], a[11], meta["out_shapes"][0])]
+
+
 def supported_aten_ops() -> List[str]:
     return sorted(_ATEN)
 
@@ -1017,8 +1187,21 @@ class PyTorchOpReplay:
         max_ops: Optional[int] = None,
         skip_names: Optional[set] = None,
         skip_config_path: Optional[str] = None,
+        mode: str = "comp",
+        backend=None,
+        target_rank: int = 0,
+        auto_shrink: bool = True,
     ):
+        """``mode="comp"`` replays the ATen stream only (reference
+        ReplayMode.COMP); ``mode="full"`` interleaves the
+        ``record_param_comms`` nodes through ``backend`` at their recorded
+        positions (ReplayMode.FULL, et_replay.py:512-524) — the whole
+        production step, compute AND collectives, on the live mesh."""
+        assert mode in ("comp", "full"), mode
+        if mode == "full" and backend is None:
+            raise ValueError("full mode needs a backend")
         self.et = PyTorchETrace(data)
+        self.mode = mode
         self.max_ops = max_ops
         self.skip_names = set(skip_names or ())
         self.skip_config_path = skip_config_path
@@ -1028,6 +1211,16 @@ class PyTorchOpReplay:
         self.skipped: Dict[str, str] = {}  # name -> reason
         self._jit_cache: Dict[Any, Any] = {}
         self._select_nodes()
+        self._comms = None
+        if mode == "full":
+            from param_tpu.trace.replay import CommsReplay, ReplayParams
+
+            self._comms = CommsReplay(backend, ReplayParams(
+                trace_type="pytorch_et", target_rank=target_rank,
+                auto_shrink=auto_shrink, num_replays=1,
+                num_warmup_replays=0))
+            self._comms.load(data)
+            self._comm_ops = {op.id: op for op in self._comms.ops}
 
     # ------------------------------------------------------------ selection
     def _select_nodes(self) -> None:
@@ -1060,8 +1253,10 @@ class PyTorchOpReplay:
         if len(step_ids) > 1:
             picked = [n for n in picked
                       if step_ids[0] < n.id < step_ids[1]]
-        # compute mode: comm records belong to the comm replayer
-        picked = [n for n in picked if n.name != "record_param_comms"]
+        # comp mode: comm records belong to the comm replayer;
+        # full mode keeps them inline at their recorded positions
+        if self.mode == "comp":
+            picked = [n for n in picked if n.name != "record_param_comms"]
         if self.max_ops:
             picked = picked[: self.max_ops]
         self.nodes = picked
@@ -1093,7 +1288,10 @@ class PyTorchOpReplay:
 
     def _resolve_tensor(self, desc, shape, type_token):
         key = _tensor_key(desc)
-        if key is None:
+        # a missing optional (nullptr) stays None; a REAL zero-size tensor
+        # (empty grads etc.) materializes as an empty array so view/sum/
+        # empty_like over it replay instead of skipping
+        if key is None or "nullptr" in (type_token or ""):
             return None
         self._cur_shape = [int(d) for d in shape]
         if key in self.registry:
@@ -1128,15 +1326,23 @@ class PyTorchOpReplay:
             elif _is_tensor_list_slot(t):
                 toks = t[len("GenericList["):-1].split(",")
                 lst = []
+                sp = []
                 for j, d in enumerate(v):
                     tok = toks[min(j, len(toks) - 1)]
+                    if d == "<None>" or "nullptr" in tok or tok == "None":
+                        lst.append(None)  # torch indices lists hold Nones
+                        sp.append(("null",))
+                        continue
                     arr = self._resolve_tensor(
                         d, shape[j] if j < len(shape) else [], tok)
                     lst.append(arr)
-                    arrays.append(arr)
+                    if arr is None:
+                        sp.append(("null",))
+                    else:
+                        arrays.append(arr)
+                        sp.append((tuple(arr.shape), str(arr.dtype)))
                 args.append(lst)
-                spec.append(("L", tuple(
-                    (tuple(x.shape), str(x.dtype)) for x in lst)))
+                spec.append(("L", tuple(sp)))
             else:
                 # missing optionals: type "None" / value "<None>" (1.1.0)
                 lit = None if (t == "None" or v == "<None>") else v
@@ -1164,12 +1370,16 @@ class PyTorchOpReplay:
         per-node TorchScript func, shared across equal-signature nodes."""
         import jax
 
-        key = (node.name, node.op_schema, spec)
+        # out_shapes participate in the key: fbgemm output layouts depend
+        # on tensor contents the trace doesn't carry, so equal input
+        # signatures can still produce different output shapes
+        key = (node.name, node.op_schema, spec, repr(node.output_shapes))
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
         impl = _ATEN[node.name]
-        meta = {"name": node.name, "schema": node.op_schema}
+        meta = {"name": node.name, "schema": node.op_schema,
+                "out_shapes": node.output_shapes}
 
         def rebuild(arrs):
             out, it = [], iter(arrs)
@@ -1177,7 +1387,8 @@ class PyTorchOpReplay:
                 if s[0] == "T":
                     out.append(next(it))
                 elif s[0] == "L":
-                    out.append([next(it) for _ in a])
+                    out.append([None if e == ("null",) else next(it)
+                                for e in s[1]])
                 else:
                     out.append(a)
             return out
@@ -1195,6 +1406,8 @@ class PyTorchOpReplay:
 
         if node.name in self.skip_names or node.name in self.skipped:
             return None
+        if node.name == "record_param_comms":
+            return self._run_comm(node, timed)
         if node.name not in _ATEN:
             self._skip(node, "no JAX mapping")
             return None
@@ -1222,6 +1435,36 @@ class PyTorchOpReplay:
         except Exception as e:  # degrade, reference skip-config semantics
             self._skip(node, f"{type(e).__name__}: {e}")
         return None
+
+    def _run_comm(self, node: PtNode, timed: bool) -> Optional[float]:
+        """Full mode: execute a record_param_comms node through the backend
+        at its recorded position (reference ReplayMode.FULL)."""
+        from param_tpu.trace.comms_trace import SKIP_OPS
+
+        op = self._comm_ops.get(node.id)
+        if op is None:
+            return None  # init records are executed up front by load()
+        backend = self._comms.backend
+        t0 = time.perf_counter()
+        if op.comms in SKIP_OPS:
+            if op.comms == "wait":
+                backend.complete_ops()
+            elif op.comms == "barrier":
+                backend.barrier()
+        else:
+            args = self._comms.prep_op(op)
+            out = backend.collective_fn[op.comms](args)
+            if timed:
+                backend.complete_ops()
+                import jax
+
+                jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) * 1e6
+        st = self.stats.setdefault(f"comm:{op.comms}", OpStat())
+        st.count += 1
+        if timed:
+            st.lat_us.append(dt)
+        return dt
 
     def _skip(self, node: PtNode, reason: str) -> None:
         if node.name not in self.skipped:
@@ -1292,7 +1535,8 @@ class PyTorchOpReplay:
                 args, arrays, spec = self._resolve_args(node)
                 impl = _ATEN[node.name]
                 outs = impl(args, {"name": node.name,
-                                   "schema": node.op_schema})
+                                   "schema": node.op_schema,
+                                   "out_shapes": node.output_shapes})
                 self._register_outputs(node, list(outs))
                 for o in outs:
                     for leaf in (o if isinstance(o, list) else [o]):

@@ -173,6 +173,52 @@ class TestResnetEt:
 
 
 @needs_reference
+class TestDlrmProductionEt:
+    """The reference's REAL 8-rank DLRM production trace: the full
+    fbgemm-tier compute stream, and FULL mode interleaving its collectives
+    through the backend (reference ReplayMode.FULL)."""
+
+    @pytest.fixture(scope="class")
+    def dlrm_et(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("dlrmet")
+        with tarfile.open(os.path.join(
+                REF_INPUTS, "dlrm_pytorch_et.tar.gz")) as t:
+            t.extractall(d, filter="data")
+        with open(d / "dlrm_pytorch_et" / "dlrm_eg_0.json") as f:
+            return json.load(f)
+
+    def test_fbgemm_ops_execute(self, dlrm_et):
+        """The DLRM-specific fbgemm tier (split-embedding lookup, sparse
+        permute, complete cumsum) replays in a window skipping the 2.4 GB
+        adagrad table (exercised separately in the full run)."""
+        from param_tpu.trace.pytorch_op_replay import PyTorchOpReplay
+
+        r = PyTorchOpReplay(dlrm_et, skip_names={
+            "fbgemm::split_embedding_codegen_lookup_adagrad_function"})
+        rep = r.replay(iters=1)
+        assert rep["skipped"] == {}
+        assert rep["per_op"]["fbgemm::asynchronous_complete_cumsum"][
+            "count"] >= 1
+        assert rep["per_op"][
+            "fbgemm::dense_embedding_codegen_lookup_function"]["count"] >= 1
+
+    def test_full_mode_interleaves_comms(self, dlrm_et, backend):
+        """FULL mode: compute ops AND the recorded collectives execute at
+        their trace positions through the live backend."""
+        from param_tpu.trace.pytorch_op_replay import PyTorchOpReplay
+
+        r = PyTorchOpReplay(
+            dlrm_et, mode="full", backend=backend, max_ops=420,
+            skip_names={
+                "fbgemm::split_embedding_codegen_lookup_adagrad_function"})
+        rep = r.replay(iters=1)
+        assert rep["skipped"] == {}
+        comm = {k: v for k, v in rep["per_op"].items()
+                if k.startswith("comm:")}
+        assert comm.get("comm:all_to_allv", {}).get("count", 0) >= 2, comm
+
+
+@needs_reference
 class TestGpt2Et:
     def test_transformer_op_window(self):
         """A GPT2 window (embeddings, layernorm, attention matmuls, gelu,
