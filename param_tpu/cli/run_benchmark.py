@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--xla-dump", default=None, metavar="DIR",
                     help="dump optimized HLO to DIR (summarize with "
                          "param_tpu.trace.hlo_summary)")
+    ap.add_argument("--profile-dir", default=None, metavar="DIR",
+                    help="one jax.profiler session per (op run, pass); "
+                         "per-kernel device times land in each record "
+                         "(the NCU/NSYS orchestration analogue)")
     ap.add_argument("--log", default="INFO")
     return ap
 
@@ -71,6 +75,7 @@ def main(argv=None) -> int:
         resume_op_run_id=ns.resume_op_run_id,
         stop_op_run_id=ns.stop_op_run_id,
         out_stream=stream,
+        profile_dir=ns.profile_dir,
     )
     cfg = BenchmarkConfig.load_json_file(ns.config)
     results = Benchmark(cfg, options).run()

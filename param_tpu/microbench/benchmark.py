@@ -89,6 +89,10 @@ class RunOptions:
     resume_op_run_id: Optional[str] = None
     stop_op_run_id: Optional[str] = None
     out_stream: Any = None
+    # per-op profiler orchestration (the reference's NCU/NSYS subprocess
+    # batching, build_executor.py:125-151,247+): one jax.profiler session
+    # per (op run, pass), per-kernel device times extracted into the record
+    profile_dir: Optional[str] = None
 
 
 class OpExecutor:
@@ -114,10 +118,12 @@ class OpExecutor:
             if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
         ]
 
-    def run(self, args: list, kwargs: dict) -> Dict[str, Any]:
+    def run(self, args: list, kwargs: dict,
+            run_id: Optional[str] = None) -> Dict[str, Any]:
+        self._run_id = run_id or self.name
         results = {}
         fwd = self._fwd_fn(args, kwargs)
-        results["forward"] = self._measure(fwd, args)
+        results["forward"] = self._measure(fwd, args, pass_name="forward")
         if "backward" in self.options.passes:
             ft = self._float_tensor_idx(args)
             if ft:
@@ -139,12 +145,42 @@ class OpExecutor:
                         *[a[i] for i in ft]
                     )
 
-                results["backward"] = self._measure(bwd, args)
+                results["backward"] = self._measure(bwd, args,
+                                                    pass_name="backward")
             else:
                 results["backward"] = {"error": "no differentiable tensor args"}
         return results
 
-    def _measure(self, fn, args) -> Dict[str, Any]:
+    def _profile(self, run_call, pass_name: str) -> Dict[str, Any]:
+        """One dedicated jax.profiler session for this (op run, pass) and
+        per-kernel device-time extraction — run SEPARATELY from the timed
+        iterations so profiling overhead never pollutes the latencies
+        (the reference splits NCU passes from timing passes the same way,
+        build_executor.py:125-151)."""
+        import os
+
+        d = os.path.join(self.options.profile_dir,
+                         self._run_id.replace(":", "_"), pass_name)
+        os.makedirs(d, exist_ok=True)
+        try:
+            with jax.profiler.trace(d):
+                jax.block_until_ready(run_call())
+            from param_tpu.trace.device_trace import (
+                load_chrome_trace,
+                op_durations,
+            )
+
+            events, threads = load_chrome_trace(d)
+            flt = "TPU" if jax.devices()[0].platform == "tpu" else None
+            agg = op_durations(events, threads, thread_filter=flt)
+            top = sorted(agg.items(), key=lambda kv: -kv[1]["total_us"])[:10]
+            return {"dir": d,
+                    "device_ops": [{"name": k, **v} for k, v in top]}
+        except Exception as e:  # noqa: BLE001
+            log.exception("profiler session for %s failed", self._run_id)
+            return {"dir": d, "error": str(e)[:200]}
+
+    def _measure(self, fn, args, pass_name: str = "forward") -> Dict[str, Any]:
         opts = self.options
         jit_fn = jax.jit(fn)
         try:
@@ -160,12 +196,16 @@ class OpExecutor:
                     jax.block_until_ready(jit_fn(*args))
                     lats.append((time.perf_counter() - t0) * 1e6)
                 lats.sort()
-                return {
+                rec = {
                     "lat_us_p50": lats[len(lats) // 2],
                     "lat_us_min": lats[0],
                     "lat_us_max": lats[-1],
                     "iters": opts.iters,
                 }
+                if opts.profile_dir:
+                    rec["profile"] = self._profile(
+                        lambda: jit_fn(*args), pass_name)
+                return rec
             # chain mode: per-step perturbation of the first tensor arg so
             # XLA cannot hoist the op out of the scan (float: tiny additive
             # noise; int: parity flip — jnp.take clips, so index args stay
@@ -201,7 +241,11 @@ class OpExecutor:
             per = measure_chain(
                 lambda nn: chain(nn, *args), n_lo=1, n_hi=max(4, opts.iters)
             )
-            return {"lat_us": per * 1e6, "iters": opts.iters}
+            rec = {"lat_us": per * 1e6, "iters": opts.iters}
+            if opts.profile_dir:
+                rec["profile"] = self._profile(
+                    lambda: chain(max(4, opts.iters), *args), pass_name)
+            return rec
         except Exception as e:  # noqa: BLE001
             log.exception("op %s failed", self.name)
             return {"error": str(e)[:300]}
@@ -243,7 +287,7 @@ class BuildExecutor:
                     return results
                 args, kwargs = gen.get_data(input_cfg)
                 ex = OpExecutor(op_cfg.name, op, self.options)
-                measured = ex.run(args, kwargs)
+                measured = ex.run(args, kwargs, run_id=run_id)
                 record = {
                     "name": op_cfg.name,
                     "run_id": run_id,

@@ -180,6 +180,37 @@ class TestBenchmarkRun:
         res = Benchmark(cfg, RunOptions(iters=4, mode="discrete")).run()
         assert res[0]["forward"]["lat_us_p50"] > 0
 
+    def test_profiler_session_per_op(self, tmp_path):
+        """--profile-dir: one jax.profiler session per (op run, pass) with
+        per-kernel device times extracted into the record (the reference's
+        NCU/NSYS subprocess orchestration analogue,
+        build_executor.py:125-151)."""
+        import os
+
+        cfg = BenchmarkConfig(self.CONFIG)
+        res = Benchmark(
+            cfg, RunOptions(iters=2, profile_dir=str(tmp_path),
+                            passes="forward,backward")
+        ).run()
+        for pass_name in ("forward", "backward"):
+            prof = res[0][pass_name]["profile"]
+            assert os.path.isdir(prof["dir"])
+            assert "error" not in prof, prof
+            assert prof["device_ops"], prof
+            assert all(d["total_us"] > 0 for d in prof["device_ops"])
+        # distinct session dirs per pass (the batching boundary)
+        assert (res[0]["forward"]["profile"]["dir"]
+                != res[0]["backward"]["profile"]["dir"])
+
+    def test_profiler_discrete_mode(self, tmp_path):
+        cfg = BenchmarkConfig(self.CONFIG)
+        res = Benchmark(
+            cfg, RunOptions(iters=2, mode="discrete",
+                            profile_dir=str(tmp_path))
+        ).run()
+        prof = res[0]["forward"]["profile"]
+        assert prof["device_ops"], prof
+
     def test_jsonl_output(self):
         stream = io.StringIO()
         cfg = BenchmarkConfig(self.CONFIG)
