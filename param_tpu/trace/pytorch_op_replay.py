@@ -974,16 +974,26 @@ def _foreach_lerp(a, meta):
     return [[t + w * (e - t) for t, e in zip(a[0], a[1])]]
 
 
+def _per_tensor_scalars(val, n):
+    """foreach value= arg: one scalar, or a per-tensor list (Adam's
+    step-size variant)."""
+    if isinstance(val, list):
+        return val
+    return [val] * n
+
+
 @aten("aten::_foreach_addcmul_", "aten::_foreach_addcmul")
 def _foreach_addcmul(a, meta):
-    val = a[3] if len(a) > 3 else 1
-    return [[t + val * x * y for t, x, y in zip(a[0], a[1], a[2])]]
+    vals = _per_tensor_scalars(a[3] if len(a) > 3 else 1, len(a[0]))
+    return [[t + v * x * y
+             for t, x, y, v in zip(a[0], a[1], a[2], vals)]]
 
 
 @aten("aten::_foreach_addcdiv_", "aten::_foreach_addcdiv")
 def _foreach_addcdiv(a, meta):
-    val = a[3] if len(a) > 3 else 1
-    return [[t + val * x / y for t, x, y in zip(a[0], a[1], a[2])]]
+    vals = _per_tensor_scalars(a[3] if len(a) > 3 else 1, len(a[0]))
+    return [[t + v * x / y
+             for t, x, y, v in zip(a[0], a[1], a[2], vals)]]
 
 
 @aten("aten::narrow")
