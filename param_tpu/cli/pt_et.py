@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "trustworthy mode on remote-attached TPUs)")
     ap.add_argument("--skip-config", default=None,
                     help="JSON skip config; auto-updated with failing ops")
+    ap.add_argument("--codegen", default=None, metavar="OUT.py",
+                    help="emit a standalone executable JAX script of the "
+                         "op stream instead of replaying (reference: "
+                         "et_replay --dump benchmark_<rank>.py)")
     ap.add_argument("--output-json", default=None)
     ap.add_argument("--top", type=int, default=20,
                     help="rows in the per-op table")
@@ -88,6 +92,13 @@ def main(argv=None) -> int:
     )
     print(f"selected {len(replayer.nodes)} ATen ops "
           f"(schema {replayer.et.schema})")
+
+    if ns.codegen:
+        src = replayer.codegen(ns.trace)
+        with open(ns.codegen, "w") as f:
+            f.write(src)
+        print(f"wrote {len(src.splitlines())} lines -> {ns.codegen}")
+        return 0
 
     if ns.chain:
         per_iter = replayer.measure_chain_iteration()

@@ -1585,3 +1585,124 @@ class PyTorchOpReplay:
 
         chain = self.build_chain()
         return measure_chain(chain, n_lo=1, n_hi=n_hi, max_n=max_n)
+
+    # ------------------------------------------------------------- codegen
+    def codegen(self, trace_name: str = "trace") -> str:
+        """Emit a STANDALONE executable JAX script of the op stream —
+        inline `_ATEN[...]` calls with materialized externals, the stream
+        wrapped in one jittable function and timed (reference: et_replay's
+        ``--dump`` writing ``benchmark_<rank>.py``, et_replay.py:392-400).
+        Unsupported ops degrade to inline comments, like the replay skip
+        path."""
+        lines = [
+            f'"""Auto-generated from {trace_name} by '
+            f"param_tpu pt_et codegen.\"\"\"",
+            "import time",
+            "",
+            "import jax",
+            "import jax.numpy as jnp",
+            "import numpy as np",
+            "",
+            "from param_tpu.trace.pytorch_op_replay import _ATEN",
+            "",
+            "",
+            "def _mat(shape, dtype, seed):",
+            "    rng = np.random.default_rng(seed)",
+            "    if np.issubdtype(np.dtype(dtype), np.floating):",
+            "        return jnp.asarray(rng.random(shape, dtype=np.float32)"
+            ".astype(dtype))",
+            "    if np.dtype(dtype) == np.bool_:",
+            "        return jnp.asarray(np.ones(shape, dtype=np.bool_))",
+            "    return jnp.asarray(np.ones(shape, dtype=dtype))",
+            "",
+            "",
+        ]
+        produced: Dict[Tuple[int, int], str] = {}
+        ext_lines: List[str] = []
+        body: List[str] = []
+        import jax.numpy as jnp
+
+        def var(key):
+            return f"t_{key[0]}_{key[1]}"
+
+        def ref_tensor(desc, shape, tok):
+            key = _tensor_key(desc)
+            if key is None or "nullptr" in (tok or ""):
+                return "None"
+            name = var(key)
+            if key not in produced:
+                dt = _np_dtype(tok)
+                dt_name = ("bfloat16" if dt == jnp.bfloat16
+                           else np.dtype(dt).name)
+                shp = [int(d) for d in shape]
+                ext_lines.append(
+                    f'_EXT["{name}"] = _mat({tuple(shp)}, {dt_name!r}, '
+                    f"{key[0]})")
+                produced[key] = name
+            return produced[key]
+
+        for node in self.nodes:
+            if node.name in self.skip_names or node.name not in _ATEN:
+                body.append(f"    # skipped: {node.name} "
+                            f"({'pre-skip' if node.name in self.skip_names else 'no JAX mapping'})")
+                continue
+            arg_strs = []
+            for i, (v, t) in enumerate(zip(node.inputs, node.input_types)):
+                shape = (node.input_shapes[i]
+                         if i < len(node.input_shapes) else [])
+                if _is_tensor_slot(t):
+                    arg_strs.append(ref_tensor(v, shape, t))
+                elif _is_tensor_list_slot(t):
+                    toks = t[len("GenericList["):-1].split(",")
+                    elems = []
+                    for j, d in enumerate(v):
+                        tok = toks[min(j, len(toks) - 1)]
+                        if d == "<None>" or "nullptr" in tok or tok == "None":
+                            elems.append("None")
+                        else:
+                            elems.append(ref_tensor(
+                                d, shape[j] if j < len(shape) else [], tok))
+                    arg_strs.append("[" + ", ".join(elems) + "]")
+                else:
+                    lit = None if (t == "None" or v == "<None>") else v
+                    arg_strs.append(repr(lit))
+            meta = {"name": node.name, "schema": "",
+                    "out_shapes": node.output_shapes}
+            body.append(f"    _o = _ATEN[{node.name!r}]("
+                        f"[{', '.join(arg_strs)}], {meta!r})")
+            # bind outputs
+            for j, (v, t) in enumerate(zip(node.outputs, node.output_types)):
+                if _is_tensor_slot(t):
+                    key = _tensor_key(v)
+                    if key is not None and "nullptr" not in (t or ""):
+                        produced[key] = var(key)
+                        body.append(f"    {var(key)} = _o[{j}]")
+                elif _is_tensor_list_slot(t):
+                    for jj, d in enumerate(v):
+                        key = _tensor_key(d)
+                        if key is not None:
+                            produced[key] = var(key)
+                            body.append(f"    {var(key)} = _o[{j}][{jj}]")
+        # assemble: externals into a pytree ARG (not closure constants —
+        # baked-in arrays would both break in-place var reassignment and
+        # blow the remote-compile upload on big traces)
+        ext_names = sorted({ln.split('"')[1] for ln in ext_lines})
+        out = lines + ["_EXT = {}"] + ext_lines + [
+            "", "", "@jax.jit", "def run_stream(ext):",
+        ]
+        out += [f'    {n} = ext["{n}"]' for n in ext_names]
+        out += body or ["    pass"]
+        live = [v for v in produced.values()]
+        tail = live[-1] if live else "jnp.float32(0)"
+        out += [
+            f"    return {tail}",
+            "",
+            "",
+            'if __name__ == "__main__":',
+            "    jax.block_until_ready(run_stream(_EXT))  # compile",
+            "    t0 = time.perf_counter()",
+            "    jax.block_until_ready(run_stream(_EXT))",
+            "    print(f'one iteration: "
+            "{(time.perf_counter() - t0) * 1e3:.3f} ms')",
+        ]
+        return "\n".join(out) + "\n"

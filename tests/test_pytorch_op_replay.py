@@ -95,6 +95,26 @@ class TestLinearEt:
         rep = r.replay(iters=2)
         assert rep["num_executed"] == 80
 
+    def test_codegen_emits_executable_script(self, linear_et, tmp_path):
+        """codegen writes a STANDALONE JAX script of the op stream that
+        actually executes (reference: et_replay --dump benchmark_<rank>.py,
+        et_replay.py:392-400)."""
+        import subprocess
+        import sys as _sys
+
+        from param_tpu.trace.pytorch_op_replay import PyTorchOpReplay
+
+        r = PyTorchOpReplay(linear_et, max_ops=60)
+        src = r.codegen("linear_et")
+        assert '_ATEN["aten::linear"]' in src or "_ATEN['aten::linear']" in src
+        p = tmp_path / "gen.py"
+        p.write_text(src)
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+        out = subprocess.run([_sys.executable, str(p)], env=env,
+                             capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-1500:]
+        assert "one iteration:" in out.stdout
+
     def test_chain_mode_runs_fused(self, linear_et):
         """The whole supported op stream compiles into ONE XLA program and
         times positively via scalar-fetch delta-N (no reference analogue —
