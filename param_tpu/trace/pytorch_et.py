@@ -90,12 +90,16 @@ class PtNode:
     output_shapes: List[Any]
     comm_attrs: Dict[str, Any] = field(default_factory=dict)
     op_schema: str = ""
+    kernel_backend: str = ""
 
     def is_operator(self) -> bool:
         """Reference NodeType.OPERATOR (execution_trace.py:278-291): a node
-        with a recorded ATen schema, or a comm record."""
-        return self.name == "record_param_comms" or (
-            self.op_schema != "" and not self.name.startswith("c10d::")
+        with a recorded ATen schema, a PT2 triton kernel, or a comm
+        record."""
+        return (
+            self.name == "record_param_comms"
+            or (self.op_schema != "" and not self.name.startswith("c10d::"))
+            or self.kernel_backend == "triton"
         )
 
 
@@ -136,17 +140,21 @@ class PyTorchETrace:
             )
         comm_attrs = {}
         op_schema = x.get("op_schema", "")  # 1.0.1 flat field
+        kernel_backend = x.get("kernel_backend", "")
         for attr in x.get("attrs", []):
             if attr.get("name") in self.COMM_ATTR_NAMES:
                 comm_attrs[attr["name"]] = attr.get("value")
             elif attr.get("name") == "op_schema":  # >= 1.0.2 attr
                 op_schema = attr.get("value", "")
+            elif attr.get("name") == "kernel_backend":
+                kernel_backend = attr.get("value", "")
         return PtNode(
             id=x["id"], name=x.get("name", ""),
             parent=x.get("ctrl_deps", x.get("parent", 0)),
             inputs=inputs, input_types=in_t, input_shapes=in_s,
             outputs=outputs, output_types=out_t, output_shapes=out_s,
             comm_attrs=comm_attrs, op_schema=op_schema,
+            kernel_backend=kernel_backend,
         )
 
 

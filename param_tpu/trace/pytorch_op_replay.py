@@ -1201,6 +1201,7 @@ class PyTorchOpReplay:
         backend=None,
         target_rank: int = 0,
         auto_shrink: bool = True,
+        triton_surrogate: bool = True,
     ):
         """``mode="comp"`` replays the ATen stream only (reference
         ReplayMode.COMP); ``mode="full"`` interleaves the
@@ -1212,6 +1213,7 @@ class PyTorchOpReplay:
             raise ValueError("full mode needs a backend")
         self.et = PyTorchETrace(data)
         self.mode = mode
+        self.triton_surrogate = triton_surrogate
         self.max_ops = max_ops
         self.skip_names = set(skip_names or ())
         self.skip_config_path = skip_config_path
@@ -1418,6 +1420,18 @@ class PyTorchOpReplay:
             return None
         if node.name == "record_param_comms":
             return self._run_comm(node, timed)
+        if node.kernel_backend == "triton":
+            # the reference compiles these from the trace's resources dir
+            # (build_triton_func, et_replay_utils.py:215); CUDA source has
+            # no TPU mapping.  Pointwise/reduction triton kernels are
+            # bandwidth-bound, so a traffic-equivalent surrogate (read all
+            # tensor inputs, write the recorded output shapes) preserves
+            # the op's HBM cost; disable via triton_surrogate=False for
+            # the plain skip path.
+            if not self.triton_surrogate:
+                self._skip(node, "PT2 triton kernel (CUDA source)")
+                return None
+            return self._run_triton_surrogate(node, timed)
         if node.name not in _ATEN:
             self._skip(node, "no JAX mapping")
             return None
@@ -1445,6 +1459,50 @@ class PyTorchOpReplay:
         except Exception as e:  # degrade, reference skip-config semantics
             self._skip(node, f"{type(e).__name__}: {e}")
         return None
+
+    def _run_triton_surrogate(self, node: PtNode,
+                              timed: bool) -> Optional[float]:
+        """Traffic-equivalent stand-in for a PT2 triton kernel: read every
+        tensor input in full, write the recorded output shapes — the HBM
+        cost of a bandwidth-bound pointwise/reduction kernel."""
+        import jax
+        import jax.numpy as jnp
+
+        try:
+            args, arrays, spec = self._resolve_args(node)
+            key = ("triton", node.name, spec, repr(node.output_shapes))
+            fn = self._jit_cache.get(key)
+            if fn is None:
+                shapes = [[int(d) for d in s] for s in node.output_shapes]
+
+                def run(*arrs):
+                    total = jnp.float32(0)
+                    for t in arrs:
+                        total = total + jnp.mean(t.astype(jnp.float32))
+                    return [jnp.full(s, total, jnp.float32) for s in shapes]
+
+                fn = jax.jit(run)
+                self._jit_cache[key] = fn
+            flat = [a for a in arrays if a is not None]
+            if timed:
+                outs = fn(*flat)
+                jax.block_until_ready(outs)
+                t0 = time.perf_counter()
+                outs = fn(*flat)
+                jax.block_until_ready(outs)
+                dt = (time.perf_counter() - t0) * 1e6
+            else:
+                outs = fn(*flat)
+                dt = 0.0
+            self._register_outputs(node, list(outs))
+            st = self.stats.setdefault(f"triton:{node.name}", OpStat())
+            st.count += 1
+            if timed:
+                st.lat_us.append(dt)
+            return dt
+        except Exception as e:  # noqa: BLE001
+            self._skip(node, f"triton surrogate failed: {e}")
+            return None
 
     def _run_comm(self, node: PtNode, timed: bool) -> Optional[float]:
         """Full mode: execute a record_param_comms node through the backend

@@ -252,6 +252,25 @@ class TestGpt2Et:
         assert rep["num_executed"] == 400
 
 
+@needs_reference
+class TestPt2Et:
+    def test_triton_surrogate(self):
+        """PT2 traces: triton kernel nodes select like the reference's
+        NodeType.OPERATOR (kernel_backend == 'triton') and replay through
+        the traffic-equivalent surrogate; with it disabled they take the
+        documented skip path."""
+        from param_tpu.trace.pytorch_op_replay import PyTorchOpReplay
+
+        data = _load("pt2_et.json.tar.gz")
+        r = PyTorchOpReplay(data)
+        rep = r.replay(iters=1)
+        assert rep["skipped"] == {}
+        assert any(k.startswith("triton:") for k in rep["per_op"])
+        r2 = PyTorchOpReplay(data, triton_surrogate=False)
+        rep2 = r2.replay(iters=1)
+        assert any("triton" in v for v in rep2["skipped"].values())
+
+
 class TestSkipPath:
     """Unsupported ops degrade to the skip path with the reason recorded
     (reference: skip-node config auto-update, et_replay.py:458)."""
