@@ -102,7 +102,7 @@ def bigm_chain(astack, b, n):
 
 def report(name, per_op_s, per_gemm_flops=FLOPS):
     chip = detect_chip()
-    peak = matmul_roofline_tflops(chip, 2)
+    peak = matmul_roofline_tflops(chip, "bfloat16")
     tfs = per_gemm_flops / per_op_s / 1e12
     print(f"  {name:34s} {per_op_s*1e6:9.2f} us/gemm  {tfs:7.1f} TF/s  "
           f"{tfs/peak*100:5.1f}% of bf16 peak")
