@@ -28,6 +28,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="explicit M,N,K (overrides --dataset)")
     g.add_argument("--dtype", default="float32")
     g.add_argument("--pallas", action="store_true", help="use the Pallas kernel")
+    g.add_argument("--weight-resident", type=int, default=0, metavar="S",
+                   help="time S GEMMs sharing one VMEM-resident weight and "
+                        "report per-GEMM numbers (the reference's warm-L2 "
+                        "torch.mm loop contract; see RESULTS.md small-M "
+                        "study)")
     g.add_argument("--compare", action="store_true",
                    help="run BOTH the XLA and Pallas GEMM per shape, printed "
                         "side by side (reference: cuBlas-vs-cuTlass table, "
@@ -106,6 +111,7 @@ def main(argv=None) -> int:
         results = bench_gemm(
             shapes, dtype=ns.dtype, n_hi=ns.chain, reps=ns.reps,
             use_pallas=ns.pallas, precision=ns.precision,
+            weight_resident=ns.weight_resident,
         )
     elif ns.cmd == "emb":
         configs = (

@@ -63,6 +63,7 @@ def bench_gemm(
     reps: int = 2,
     use_pallas: bool = False,
     precision: str = "default",
+    weight_resident: int = 0,
 ) -> List[ComputeResult]:
     """(reference: pytorch_gemm.py measure/measure_xla)
 
@@ -70,7 +71,16 @@ def bench_gemm(
     f32 matmuls with bf16 multiplications (f32 accumulation) — the moral
     equivalent of torch's TF32-by-default on GPU, so defaults-vs-defaults
     is the fair reference comparison; pass 'highest' for true f32
-    multiplication passes."""
+    multiplication passes.
+
+    ``weight_resident``: when S > 0, time S GEMMs sharing ONE weight with B
+    held in VMEM across the steps (ops.matmul.matmul_weight_resident) and
+    report per-GEMM numbers.  This matches the reference's measurement
+    contract — its bench loops ``torch.mm`` with the SAME B
+    (pytorch_gemm.py:95-137), so on GPU the weight is L2-resident after
+    iteration one; cold-B small-M GEMMs on TPU are memory-bound instead
+    (see RESULTS.md "Small-M GEMM study": 42% cold vs 79% weight-resident
+    at (128,4096,4096) bf16)."""
     from jax import lax as _lax
 
     dt = dtype_from_name(dtype)
@@ -84,6 +94,44 @@ def bench_gemm(
         rng = np.random.default_rng(0)
         a = (jnp.asarray(rng.random((m, k), dtype=np.float32)) * 0.01).astype(dt)
         b = (jnp.asarray(rng.random((k, n), dtype=np.float32)) * 0.01).astype(dt)
+
+        if weight_resident:
+            from param_tpu.ops.matmul import matmul_weight_resident
+
+            S = weight_resident
+            es = dtype_size(dt)
+            bn = next((c for c in (512, 256, 128) if n % c == 0), n)
+            if (S * m * k + k * bn) * es > 100 * 2**20:
+                log.warning("gemm %s: A stack + B tile exceed VMEM for "
+                            "weight-resident mode; skipping", (m, n, k))
+                continue
+            astack = (jnp.asarray(
+                rng.random((S, m, k), dtype=np.float32)) * 0.01).astype(dt)
+
+            @functools.partial(jax.jit, static_argnames="nn")
+            def chain(astack, b, nn, bn=bn):
+                def step(s, i):
+                    out = matmul_weight_resident(
+                        astack + i.astype(astack.dtype)
+                        * jnp.asarray(1e-6, astack.dtype),
+                        b, block_n=bn)
+                    return s + jnp.sum(out.astype(jnp.float32)), None
+
+                s, _ = lax.scan(step, jnp.float32(0), jnp.arange(nn))
+                return s
+
+            try:
+                per = measure_chain(
+                    lambda nn: chain(astack, b, nn=nn),
+                    n_lo=1, n_hi=max(2, n_hi // S), reps=reps) / S
+            except Exception:
+                log.exception("gemm %s (weight-resident) failed", (m, n, k))
+                continue
+            tf = gemm_flops(m, n, k) / per / 1e12
+            results.append(_report(ComputeResult(
+                op="gemm", shape=(m, n, k), lat_us=per * 1e6, tflops=tf,
+                roofline_frac=tf / peak if peak else 0.0), dtype))
+            continue
 
         if use_pallas:
             def op(x, w):

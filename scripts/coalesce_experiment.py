@@ -93,7 +93,7 @@ def _desc_kernel(starts_hbm, table_ref, o_ref, rows_ref, st_ref, row_sems,
         rows_ref.at[slot], rows_ref.at[slot], row_sems.at[slot]
     ).wait()
     o_ref[:] = jnp.sum(
-        rows_ref[slot].astype(jnp.float32), axis=(0, 1))[None]
+        rows_ref[slot].astype(jnp.float32), axis=(0, 1))[None, None]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "rows_per_tile"))
@@ -108,16 +108,18 @@ def desc_fetch(table, starts, k: int, rows_per_tile: int = 4096):
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, D), lambda i: (i, 0)),
+        # 3D out with block dims == array dims in the last two axes: a
+        # (1, D) 2D block violates the TPU (8,128)-divisibility rule
+        out_specs=pl.BlockSpec((1, 1, D), lambda i: (i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, rows_per_tile, 1, D), table.dtype),
             pltpu.SMEM((1, n_desc), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
-        out_shape=jax.ShapeDtypeStruct((n_tiles, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, D), jnp.float32),
         interpret=_interpret(),
-    )(st3, table3)
+    )(st3, table3)[:, 0]
 
 
 def stage_a():

@@ -39,6 +39,19 @@ class TestGemm:
             assert r.tflops > 0
             assert r.lat_us > 0
 
+    def test_weight_resident_mode(self):
+        # (interpret-mode on CPU) per-GEMM numbers from S steps sharing B
+        results = bench_gemm([(8, 128, 128)], n_hi=2, reps=1,
+                             weight_resident=4)
+        assert len(results) == 1
+        assert results[0].tflops > 0
+
+    def test_weight_resident_vmem_guard(self):
+        # an A stack that cannot fit VMEM is skipped, not crashed
+        results = bench_gemm([(1024, 4096, 40928)], n_hi=2, reps=1,
+                             weight_resident=16)
+        assert results == []
+
 
 class TestEmb:
     def test_small(self):
