@@ -132,7 +132,9 @@ def stage_a():
         starts = jnp.asarray(
             rng.integers(0, E - k, size=(n_desc_total,)).astype(np.int32))
 
-        def chain(n, k=k, starts=starts):
+        # table/starts must be jit ARGUMENTS (closure constants embed in
+        # the HLO upload -> HTTP 413 on axon; see module docstring)
+        def chain(table, starts, n, k=k):
             def step(s, i):
                 out = desc_fetch(table, (starts + i) % (E - k), k)
                 return s + jnp.sum(out), None
@@ -140,7 +142,8 @@ def stage_a():
             s, _ = lax.scan(step, jnp.float32(0), jnp.arange(n))
             return s
 
-        per = measure_chain(jax.jit(chain, static_argnums=0),
+        jchain = jax.jit(chain, static_argnums=2)
+        per = measure_chain(lambda n: jchain(table, starts, n),
                             n_lo=1, n_hi=8, max_n=32)
         gbs = K_ROWS * D * 4 / per / 1e9
         ns_per_desc = per / n_desc_total * 1e9
