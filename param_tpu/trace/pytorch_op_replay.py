@@ -384,10 +384,16 @@ def _cross_entropy(a, meta):
     logits, target = a[0], a[1]
     reduction = _reduction(a[3] if len(a) > 3 else 1)
     ls = jax.nn.log_softmax(logits, axis=-1)
-    target = jnp.reshape(target, ls.shape[:-1])
-    nll = -jnp.take_along_axis(
-        ls, target[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
+    if (target.shape == ls.shape
+            and jnp.issubdtype(target.dtype, jnp.floating)):
+        # torch's probability-target form (soft labels, same shape as
+        # input) — the resnet_et fixture records this variant
+        nll = -jnp.sum(target * ls, axis=-1)
+    else:
+        target = jnp.reshape(target, ls.shape[:-1])
+        nll = -jnp.take_along_axis(
+            ls, target[..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
     if reduction == "mean":
         return [jnp.mean(nll)]
     if reduction == "sum":
@@ -1312,8 +1318,12 @@ class PyTorchOpReplay:
             if tuple(val.shape) == want:
                 return val
             if int(np.prod(val.shape)) == int(np.prod(want)):
+                import jax
                 import jax.numpy as jnp
 
+                if isinstance(val, jax.ShapeDtypeStruct):
+                    # abstract pass (build_chain): reshape without values
+                    return jax.ShapeDtypeStruct(want, val.dtype)
                 return jnp.reshape(val, want)
         val = self._materialize(desc, type_token)
         self.registry[key] = val
@@ -1412,12 +1422,22 @@ class PyTorchOpReplay:
         self._jit_cache[key] = fn
         return fn
 
-    def run_node(self, node: PtNode, timed: bool = True) -> Optional[float]:
-        """Replay one node; returns latency in us (None if skipped)."""
+    def run_node(self, node: PtNode, timed: bool = True,
+                 abstract: bool = False) -> Optional[float]:
+        """Replay one node; returns latency in us (None if skipped).
+
+        ``abstract=True`` (build_chain's materialization pass) traces the
+        node with :func:`jax.eval_shape` instead of executing it: external
+        inputs still materialize concretely, but no op runs on the device —
+        no per-op remote compiles, no HBM held by intermediates, and the
+        skip decisions are platform-independent."""
         import jax
 
         if node.name in self.skip_names or node.name in self.skipped:
             return None
+        if abstract and (node.name == "record_param_comms"
+                         or node.kernel_backend == "triton"):
+            return None  # not part of the fused compute chain
         if node.name == "record_param_comms":
             return self._run_comm(node, timed)
         if node.kernel_backend == "triton":
@@ -1438,6 +1458,10 @@ class PyTorchOpReplay:
         try:
             args, arrays, spec = self._resolve_args(node)
             fn = self._compiled(node, args, arrays, spec)
+            if abstract:
+                outs = jax.eval_shape(fn, *arrays)
+                self._register_outputs(node, list(outs))
+                return 0.0
             if timed:
                 outs = fn(*arrays)  # warm/compile outside the timed window
                 jax.block_until_ready(outs)
@@ -1585,15 +1609,23 @@ class PyTorchOpReplay:
         import jax
         import jax.numpy as jnp
 
-        # materialize the external inputs ONCE via an untimed discrete pass
-        # (also decides which nodes execute)
-        self.replay(iters=1, timed=False)
+        # materialize the external inputs ONCE via an ABSTRACT pass
+        # (jax.eval_shape per node): decides which nodes execute without
+        # running anything on the device — big traces would otherwise pay
+        # one remote compile per distinct op AND hold every intermediate
+        # in HBM (GPT2's 8581-op stream OOMed a 16 GB chip that way)
+        for node in self.nodes:
+            self.run_node(node, timed=False, abstract=True)
         runnable = [n for n in self.nodes
                     if n.name in _ATEN and n.name not in self.skipped]
-        ext_keys = list(self.registry)
+        # chain inputs = the EXTERNAL tensors only (concrete); node outputs
+        # from the abstract pass are ShapeDtypeStructs and stay out
+        ext_keys = [k for k, v in self.registry.items()
+                    if not isinstance(v, jax.ShapeDtypeStruct)]
         ext_vals = [self.registry[k] for k in ext_keys]
+        self.registry = dict(zip(ext_keys, ext_vals))
         float_pos = [i for i, v in enumerate(ext_vals)
-                     if np.issubdtype(np.asarray(v).dtype, np.floating)]
+                     if jnp.issubdtype(v.dtype, jnp.floating)]
 
         def one_iter(vals):
             saved = dict(self.registry)
@@ -1618,21 +1650,22 @@ class PyTorchOpReplay:
             self.registry = saved
             return outs_scalar
 
+        # dynamic-length loop: ONE compile serves every chain length the
+        # timer asks for (a scan with static length would recompile the
+        # whole fused program per length — minutes each for big traces)
+        @jax.jit
+        def prog(vals, n):
+            def body(_, carry):
+                vals2 = list(vals)
+                if float_pos:
+                    i = float_pos[0]
+                    vals2[i] = vals2[i] + carry.astype(vals2[i].dtype)
+                return one_iter(vals2)
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
         def chain(n: int):
-            @jax.jit
-            def prog(vals):
-                def body(carry, _):
-                    vals2 = list(vals)
-                    if float_pos:
-                        i = float_pos[0]
-                        vals2[i] = vals2[i] + carry.astype(vals2[i].dtype)
-                    s = one_iter(vals2)
-                    return s, None
-
-                s, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
-                return s
-
-            return prog(ext_vals)
+            return prog(ext_vals, jnp.int32(n))
 
         return chain
 

@@ -175,6 +175,36 @@ class TestResnetEt:
                 node.name, r.skipped)
         assert r.skipped == {}
 
+    def test_soft_target_cross_entropy(self, resnet_et):
+        """The fixture records cross_entropy_loss with PROBABILITY targets
+        (float, same shape as the logits) — torch's soft-label form; both
+        forms are torch-oracle-checked in the impl. Regression: this node
+        used to be the trace's only skip."""
+        from param_tpu.trace.pytorch_op_replay import PyTorchOpReplay
+
+        r = PyTorchOpReplay(resnet_et)
+        ce = [n for n in r.nodes if n.name == "aten::cross_entropy_loss"]
+        assert ce, "fixture lost its cross_entropy node?"
+        for node in ce:
+            assert r.run_node(node, timed=False) is not None, r.skipped
+        assert r.skipped == {}
+
+    def test_chain_build_is_abstract(self, resnet_et):
+        """build_chain's materialization pass must not execute ops on the
+        device: node outputs in the registry stay ShapeDtypeStructs and the
+        chain inputs are the externals only (GPT2-scale traces OOM a 16 GB
+        chip if intermediates are held)."""
+        import jax
+
+        from param_tpu.trace.pytorch_op_replay import PyTorchOpReplay
+
+        r = PyTorchOpReplay(resnet_et, max_ops=120)
+        for node in r.nodes:
+            r.run_node(node, timed=False, abstract=True)
+        assert r.skipped == {}
+        kinds = {type(v) for v in r.registry.values()}
+        assert jax.ShapeDtypeStruct in kinds  # produced stay abstract
+
     def test_conv_backward_grad_shapes(self, resnet_et):
         """VJP grads must match the recorded output shapes exactly."""
         from param_tpu.trace.pytorch_op_replay import PyTorchOpReplay
