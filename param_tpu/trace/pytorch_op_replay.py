@@ -1435,8 +1435,7 @@ class PyTorchOpReplay:
 
         if node.name in self.skip_names or node.name in self.skipped:
             return None
-        if abstract and (node.name == "record_param_comms"
-                         or node.kernel_backend == "triton"):
+        if abstract and node.name == "record_param_comms":
             return None  # not part of the fused compute chain
         if node.name == "record_param_comms":
             return self._run_comm(node, timed)
@@ -1451,7 +1450,7 @@ class PyTorchOpReplay:
             if not self.triton_surrogate:
                 self._skip(node, "PT2 triton kernel (CUDA source)")
                 return None
-            return self._run_triton_surrogate(node, timed)
+            return self._run_triton_surrogate(node, timed, abstract)
         if node.name not in _ATEN:
             self._skip(node, "no JAX mapping")
             return None
@@ -1484,8 +1483,8 @@ class PyTorchOpReplay:
             self._skip(node, f"{type(e).__name__}: {e}")
         return None
 
-    def _run_triton_surrogate(self, node: PtNode,
-                              timed: bool) -> Optional[float]:
+    def _run_triton_surrogate(self, node: PtNode, timed: bool,
+                              abstract: bool = False) -> Optional[float]:
         """Traffic-equivalent stand-in for a PT2 triton kernel: read every
         tensor input in full, write the recorded output shapes — the HBM
         cost of a bandwidth-bound pointwise/reduction kernel."""
@@ -1508,6 +1507,10 @@ class PyTorchOpReplay:
                 fn = jax.jit(run)
                 self._jit_cache[key] = fn
             flat = [a for a in arrays if a is not None]
+            if abstract:
+                outs = jax.eval_shape(fn, *flat)
+                self._register_outputs(node, list(outs))
+                return 0.0
             if timed:
                 outs = fn(*flat)
                 jax.block_until_ready(outs)
@@ -1616,8 +1619,14 @@ class PyTorchOpReplay:
         # in HBM (GPT2's 8581-op stream OOMed a 16 GB chip that way)
         for node in self.nodes:
             self.run_node(node, timed=False, abstract=True)
-        runnable = [n for n in self.nodes
-                    if n.name in _ATEN and n.name not in self.skipped]
+        def _chainable(n):
+            if n.name in self.skipped:
+                return False
+            if n.kernel_backend == "triton":  # PT2: surrogate joins chain
+                return self.triton_surrogate
+            return n.name in _ATEN
+
+        runnable = [n for n in self.nodes if _chainable(n)]
         # chain inputs = the EXTERNAL tensors only (concrete); node outputs
         # from the abstract pass are ShapeDtypeStructs and stay out
         ext_keys = [k for k, v in self.registry.items()
@@ -1633,10 +1642,20 @@ class PyTorchOpReplay:
             outs_scalar = jnp.float32(0)
             for node in runnable:
                 args, arrays, spec = self._resolve_args(node)
-                impl = _ATEN[node.name]
-                outs = impl(args, {"name": node.name,
-                                   "schema": node.op_schema,
-                                   "out_shapes": node.output_shapes})
+                if node.kernel_backend == "triton":
+                    # inline the traffic-equivalent surrogate (PT2 traces)
+                    shapes = [[int(d) for d in s]
+                              for s in node.output_shapes]
+                    total = jnp.float32(0)
+                    for t in arrays:
+                        if t is not None:
+                            total = total + jnp.mean(t.astype(jnp.float32))
+                    outs = [jnp.full(s, total, jnp.float32) for s in shapes]
+                else:
+                    impl = _ATEN[node.name]
+                    outs = impl(args, {"name": node.name,
+                                       "schema": node.op_schema,
+                                       "out_shapes": node.output_shapes})
                 self._register_outputs(node, list(outs))
                 for o in outs:
                     for leaf in (o if isinstance(o, list) else [o]):
