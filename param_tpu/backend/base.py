@@ -42,9 +42,17 @@ SUPPORTED_COLLECTIVES = [
     "scatter",
     "incast",
     "multicast",
+    "all_gather_object",
+    "broadcast_object_list",
     "barrier",
     "pt2pt",
 ]
+
+# host-mediated collectives: every call pickles Python objects on the host
+# before the device exchange, so they cannot ride a compiled scan chain and
+# are timed per-call (reference: dist.all_gather_object /
+# dist.broadcast_object_list, pytorch_dist_backend.py:396-425,593-608)
+OBJECT_COLLECTIVES = {"all_gather_object", "broadcast_object_list"}
 
 SUPPORTED_P2P_OPS = ["send", "recv", "isend", "irecv"]
 PT2PT_PATTERNS = ["one2one", "pairwise"]

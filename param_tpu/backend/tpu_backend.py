@@ -274,6 +274,8 @@ class TpuBackend(Backend):
             "scatter": self.scatter,
             "incast": self.incast,
             "multicast": self.multicast,
+            "all_gather_object": self.all_gather_object,
+            "broadcast_object_list": self.broadcast_object_list,
             "pt2pt": self.send_recv,
             "barrier": lambda args: self.barrier(args.group),
             "noop": lambda args: args.in_tensor,
@@ -717,6 +719,99 @@ class TpuBackend(Backend):
 
         prog = self._cached(key, lambda: self._smap(g, body))
         return self.track(prog(args.in_tensor))
+
+    # ------------------------------------------------- object collectives
+    def all_gather_object(self, args: CollectiveArgs):
+        """Object collective (reference: dist.all_gather_object,
+        pytorch_dist_backend.py:396-425): rank r contributes one picklable
+        Python object; every rank receives the n-object list.
+
+        TPU-native: objects are pickled on the host, zero-padded to the max
+        blob length, staged into a rank-sharded uint8 buffer, exchanged with
+        the cached ``all_gather`` program (real padded bytes on the wire),
+        then each rank's slice is unpickled.  The host pickle/unpickle cost
+        is part of every call — exactly the reference's semantics, which is
+        why object collectives are timed per-call, never chained.
+
+        Objects come from ``args.misc["objects"]`` (indexable by rank).
+        Returns the object list and stores it in ``args.out_tensor``.
+        """
+        import pickle
+
+        g = args.group or self._default_group
+        n = g.size
+        objs = args.misc.get("objects")
+        if objs is None:
+            objs = [args.in_tensor] * n
+        blobs = [pickle.dumps(objs[r]) for r in range(n)]
+        lens = [len(b) for b in blobs]
+        mx = max(lens)
+        payload = self.alloc_per_rank(
+            lambda r: np.frombuffer(
+                blobs[r].ljust(mx, b"\0"), dtype=np.uint8
+            ).copy(),
+            g,
+        )
+        key = (_group_key(g), "all_gather")
+        body = lambda x: lax.all_gather(x, g.axis, tiled=True)  # noqa: E731
+        prog = self._cached(key, lambda: self._smap(g, body))
+        out = prog(payload)
+        # output is replicated: every rank's local shard is the full concat
+        flat = next(s for s in self.local_shards(out, g) if s is not None)
+        gathered = [
+            pickle.loads(flat[r * mx : r * mx + lens[r]].tobytes())
+            for r in range(n)
+        ]
+        args.out_tensor = gathered
+        self.track(out)
+        return gathered
+
+    def broadcast_object_list(self, args: CollectiveArgs):
+        """Object-list broadcast (reference: dist.broadcast_object_list,
+        pytorch_dist_backend.py:593-608): the root's list of picklable
+        objects is replicated to every rank.
+
+        TPU-native: each element is pickled at the root, the blobs are
+        concatenated into one uint8 buffer that rides the byte-honest rooted
+        ``broadcast`` ring (root's shard real, others zero), and every rank
+        unpickles its received copy.  Object list from
+        ``args.misc["object_list"]`` (or ``[args.in_tensor]``).
+        """
+        import pickle
+
+        g = args.group or self._default_group
+        root = args.src_rank
+        obj_list = args.misc.get("object_list")
+        if obj_list is None:
+            obj_list = [args.in_tensor]
+        blobs = [pickle.dumps(o) for o in obj_list]
+        lens = [len(b) for b in blobs]
+        buf = b"".join(blobs)
+        total = len(buf)
+        payload = self.alloc_per_rank(
+            lambda r: (
+                np.frombuffer(buf, dtype=np.uint8).copy()
+                if r == root
+                else np.zeros(total, dtype=np.uint8)
+            ),
+            g,
+        )
+        out = self.broadcast(
+            CollectiveArgs(group=g, in_tensor=payload, src_rank=root)
+        )
+        shards = self.local_shards(out, g)
+        received = []
+        for shard in shards:
+            if shard is None:
+                received.append(None)
+                continue
+            objs, off = [], 0
+            for ln in lens:
+                objs.append(pickle.loads(shard[off : off + ln].tobytes()))
+                off += ln
+            received.append(objs)
+        args.out_tensor = received
+        return received
 
     # ------------------------------------------------------------------ p2p
     def send_recv(self, args: CollectiveArgs):

@@ -91,7 +91,12 @@ class CollBench(CommsBench):
                 r = fn(args)
             return r
 
-        if p.mode == TimingMode.BLOCKING:
+        from param_tpu.backend.base import OBJECT_COLLECTIVES
+
+        if p.mode == TimingMode.BLOCKING or collective in OBJECT_COLLECTIVES:
+            # object collectives pickle on the host every call (reference:
+            # dist.all_gather_object semantics) — per-call timing is the
+            # honest mode; they cannot ride a compiled scan chain
             lats = measure_blocking(call, p.num_iters, p.num_warmup_iters)
             res.lat_us = [t * 1e6 for t in lats]
         elif p.mode == TimingMode.GRAPH:

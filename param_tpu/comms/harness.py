@@ -22,7 +22,12 @@ from typing import List, Optional
 
 import numpy as np
 
-from param_tpu.backend.base import Backend, CollectiveArgs, CommGroup
+from param_tpu.backend.base import (
+    Backend,
+    CollectiveArgs,
+    CommGroup,
+    OBJECT_COLLECTIVES,
+)
 from param_tpu.comms.timing import TimingMode
 from param_tpu.utils.dtypes import dtype_from_name, dtype_size
 from param_tpu.utils.sizes import fix_begin_size, parse_size, size_sweep
@@ -143,6 +148,8 @@ class CommsBench:
         p = self.params
         n = group.size
         elems = max(1, size_bytes // self.elem_size)
+        if collective in OBJECT_COLLECTIVES:
+            return self._prep_object_comm(collective, elems, group)
         if collective in _GATHERING:
             # per-rank input is size/world; the gathered output is size
             local = max(1, elems // n)
@@ -183,6 +190,33 @@ class CommsBench:
             out_split=p.out_split,
         )
 
+    def _prep_object_comm(
+        self, collective: str, elems: int, group: CommGroup
+    ) -> CollectiveArgs:
+        """Object-collective prep (reference: _prep_all_gather_object +
+        the broadcast_object_list wrap-in-list path,
+        comms_utils.py:1306-1346,1620-1650): the objects are rank-pattern
+        numpy tensors so dcheck has closed-form expectations; the
+        broadcast list wraps ONE tensor to avoid per-element pickle churn,
+        like the reference."""
+        p = self.params
+        n = group.size
+        np_dtype = np.dtype(self.dtype)
+        args = CollectiveArgs(group=group, src_rank=p.src_rank)
+        if collective == "all_gather_object":
+            local = max(1, elems // n)
+            args.misc["objects"] = [
+                np.full((local,), r + 1, dtype=np.float32).astype(np_dtype)
+                for r in range(n)
+            ]
+        else:  # broadcast_object_list
+            args.misc["object_list"] = [
+                np.full((elems,), p.src_rank + 1, dtype=np.float32).astype(
+                    np_dtype
+                )
+            ]
+        return args
+
     def payload_bytes(self, collective: str, size_bytes: int, group: CommGroup) -> int:
         """Bytes figure used in the algBW formula — per-rank message payload
         (the sweep ``size`` itself, per nccl-tests convention)."""
@@ -200,6 +234,26 @@ class CommsBench:
         def close(a, v):
             return np.allclose(np.asarray(a, dtype=np.float64), v, rtol=tol, atol=tol)
 
+        if collective == "all_gather_object":
+            # out is the n-object list: object r must be the rank pattern
+            ok = len(out) == n and all(
+                close(np.asarray(o, dtype=np.float64), r + 1)
+                for r, o in enumerate(out)
+            )
+            if not ok:
+                log.error("dcheck FAILED for %s", collective)
+            return ok
+        if collective == "broadcast_object_list":
+            # out is the per-rank received list (None for non-addressable)
+            src = args.src_rank
+            ok = all(
+                all(close(np.asarray(o, dtype=np.float64), src + 1) for o in lst)
+                for lst in out
+                if lst is not None
+            )
+            if not ok:
+                log.error("dcheck FAILED for %s", collective)
+            return ok
         if collective == "all_gather_v":
             # replicated ragged concat (not rank-sharded — can't split by n):
             # splits[r] elements of value r+1

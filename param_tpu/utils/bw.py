@@ -31,6 +31,7 @@ def bus_bw_factor(collective: str, world_size: int) -> float:
         "all_gather",
         "all_gather_v",
         "all_gather_base",
+        "all_gather_object",
         "reduce_scatter",
         "reduce_scatter_v",
         "reduce_scatter_base",

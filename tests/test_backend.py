@@ -380,3 +380,80 @@ class TestReduceScatterVRedOp:
         )
         backend.complete_ops()
         np.testing.assert_allclose(np.asarray(out), 1.0)
+
+
+class TestObjectCollectives:
+    """Object collectives (reference: dist.all_gather_object /
+    dist.broadcast_object_list, pytorch_dist_backend.py:396-425,593-608):
+    host pickling + byte-honest device exchange."""
+
+    def test_all_gather_object_arrays(self, backend):
+        n = backend.get_world_size()
+        objs = [np.full((4,), r + 1, dtype=np.float32) for r in range(n)]
+        args = CollectiveArgs(misc={"objects": objs})
+        out = backend.all_gather_object(args)
+        backend.complete_ops()
+        assert len(out) == n
+        for r, o in enumerate(out):
+            np.testing.assert_allclose(o, r + 1)
+
+    def test_all_gather_object_heterogeneous(self, backend):
+        """Arbitrary picklables with DIFFERENT blob lengths per rank —
+        exercises the pad-to-max staging."""
+        n = backend.get_world_size()
+        objs = [{"rank": r, "tag": "x" * (r * 7 + 1)} for r in range(n)]
+        out = backend.all_gather_object(CollectiveArgs(misc={"objects": objs}))
+        backend.complete_ops()
+        assert out == objs
+
+    def test_broadcast_object_list(self, backend):
+        n = backend.get_world_size()
+        src = 3
+        payload = [np.full((5,), src + 1, dtype=np.float32), {"meta": 42}]
+        args = CollectiveArgs(misc={"object_list": payload}, src_rank=src)
+        out = backend.broadcast_object_list(args)
+        backend.complete_ops()
+        assert len(out) == n
+        for lst in out:
+            np.testing.assert_allclose(lst[0], src + 1)
+            assert lst[1] == {"meta": 42}
+
+    def test_in_dispatch_table(self, backend):
+        assert "all_gather_object" in backend.collective_fn
+        assert "broadcast_object_list" in backend.collective_fn
+
+    def test_chain_mode_rejected(self, backend):
+        x = ranked(backend)
+        with pytest.raises(ValueError):
+            backend.coll_chain(
+                "all_gather_object", CollectiveArgs(in_tensor=x), 2
+            )
+
+    def test_harness_prep_and_dcheck(self, backend):
+        from param_tpu.comms.harness import CommsBench, CommsParams
+
+        params = CommsParams(dcheck=True)
+        bench = CommsBench(backend, params)
+        g = backend.get_default_group()
+        for coll in ("all_gather_object", "broadcast_object_list"):
+            args = bench.prep_comm(coll, 256, g)
+            out = backend.collective_fn[coll](args)
+            backend.complete_ops()
+            assert bench.dcheck(coll, args, out), coll
+
+    def test_coll_bench_forces_blocking(self, backend):
+        """GRAPH mode must transparently fall back to per-call timing for
+        object collectives and still produce a sane COMMS-RES row."""
+        from param_tpu.comms.coll_bench import CollBench
+        from param_tpu.comms.harness import CommsParams
+
+        params = CommsParams(
+            collectives=["all_gather_object"], num_iters=3,
+            num_warmup_iters=1, dcheck=True,
+        )
+        bench = CollBench(backend, params)
+        res = bench.run_one(
+            "all_gather_object", 256, backend.get_default_group()
+        )
+        assert res.dcheck_ok is True
+        assert len(res.lat_us) == 3 and all(t > 0 for t in res.lat_us)
