@@ -488,3 +488,42 @@ class TestAtenImpls:
         ns = build_parser().parse_args(["--trace", "x.json", "--chain",
                                         "--max-ops", "10"])
         assert ns.chain and ns.max_ops == 10
+
+
+@needs_reference
+class TestChakraSchemaFixtures:
+    """The chakra-era schema fixtures (reference
+    et_replay/tests/inputs/1.0.3-chakra.0.0.4 and 1.1.0-chakra.0.0.4) —
+    the versioned-parser coverage the reference's test_execution_trace.py
+    exercises, here at full compute-replay depth, windowed to keep the
+    4-core CI box fast (full 1228/1228 replay validated out-of-band)."""
+
+    def test_103_resnet_1gpu_compute_replay(self):
+        from param_tpu.trace.pytorch_op_replay import PyTorchOpReplay
+
+        data = _load("1.0.3-chakra.0.0.4/resnet_1gpu_et.json.gz")
+        r = PyTorchOpReplay(data, max_ops=200)
+        # same top-most op stream as the 1.0.1 resnet_et fixture
+        assert len(r.nodes) == 200
+        rep = r.replay(iters=1)
+        assert rep["skipped"] == {}
+        assert rep["num_executed"] == 200
+
+    def test_110_resnet_2gpu_full_mode(self, backend):
+        """The 2-GPU trace carries record_param_comms nodes (DDP gradient
+        all_reduce buckets): FULL mode must interleave them through the
+        live mesh at their recorded positions."""
+        from param_tpu.trace.pytorch_op_replay import PyTorchOpReplay
+
+        data = _load("1.1.0-chakra.0.0.4/resnet_2gpu_et.json.gz")
+        # unwindowed: the DDP all_reduce buckets merge into the op stream
+        # (they sit at the tail of backward, past any small window)
+        comp_all = PyTorchOpReplay(data)
+        full_all = PyTorchOpReplay(data, mode="full", backend=backend)
+        assert len(comp_all.nodes) == 1228  # same stream as resnet_et
+        assert len(full_all.nodes) > len(comp_all.nodes)
+        # replay a window end-to-end (full 1237/1237 validated out-of-band)
+        full = PyTorchOpReplay(data, mode="full", backend=backend, max_ops=150)
+        rep = full.replay(iters=1)
+        assert rep["skipped"] == {}
+        assert rep["num_executed"] == len(full.nodes)
