@@ -1,0 +1,245 @@
+"""Analytic scaling-model tests.
+
+These pin the model's *structure* — the geometry identities the
+busBW-factor table encodes (reference pytorch_backend_utils.py:200-247)
+and the scaling-book torus rules — not hardware truth (no multi-chip to
+measure against; the model is a first-order estimator by contract).
+"""
+
+import math
+
+import pytest
+
+from param_tpu.trace.comms_trace import CommsOp
+from param_tpu.trace.scaling_model import (
+    GENERATIONS,
+    Topology,
+    format_report,
+    predict_collective_us,
+    predict_trace,
+    predict_worlds,
+    predicted_bus_bw,
+    slice_topology,
+)
+
+MB = 1024 * 1024
+
+
+class TestTopology:
+    def test_factorization_most_square(self):
+        t = slice_topology("v5e", 16)
+        assert sorted(t.torus, reverse=True) == [4, 4]
+        t = slice_topology("v5e", 64)
+        assert sorted(t.torus, reverse=True) == [8, 8]
+        t = slice_topology("v4", 64)
+        assert sorted(t.torus, reverse=True) == [4, 4, 4]
+
+    def test_wrap_only_at_full_extent(self):
+        t = slice_topology("v5e", 64)  # 8x8 inside a 16x16 pod: open mesh
+        assert not any(t.wrap)
+        t = slice_topology("v5e", 256)  # full 16x16 pod: wrapped torus
+        assert all(t.wrap)
+
+    def test_multi_pod(self):
+        t = slice_topology("v5e", 512)  # two full pods
+        assert t.n_pods == 2 and t.chips_per_pod == 256 and t.n_chips == 512
+        with pytest.raises(ValueError):
+            slice_topology("v5e", 300)  # not a whole number of pods
+
+    def test_axis_bw_wrap_doubles(self):
+        gen = GENERATIONS["v5e"]
+        wrapped = Topology(gen, (16, 16), (True, True))
+        open_ = Topology(gen, (16, 16), (False, False))
+        assert wrapped.total_bw == pytest.approx(2 * open_.total_bw)
+
+    def test_degenerate_axes_carry_no_bandwidth(self):
+        gen = GENERATIONS["v4"]
+        line = Topology(gen, (8, 1, 1), (False, False, False))
+        assert line.total_bw == pytest.approx(2 * gen.ici_gbs / 2 * 2 / 2)
+        # one axis of extent 8, open: 2*ici/2 = ici... spelled out:
+        assert line.total_bw == pytest.approx(gen.ici_gbs)
+
+    def test_overrides(self):
+        t = slice_topology("v5e", 16, ici_gbs=10.0, hop_latency_us=5.0)
+        assert t.gen.ici_gbs == 10.0 and t.gen.hop_latency_us == 5.0
+
+
+class TestCollectiveModel:
+    def test_all_reduce_is_twice_all_gather(self):
+        topo = slice_topology("v5e", 256)
+        b = 256 * MB
+        ar = predict_collective_us("all_reduce", b, topo)
+        ag = predict_collective_us("all_gather", b, topo)
+        # identical geometry, 2x wire traffic + 2x latency term
+        assert ar == pytest.approx(2 * ag, rel=1e-6)
+
+    def test_large_message_busbw_approaches_wire_rate(self):
+        """The defining property: ring-collective busBW -> per-chip ICI
+        rate W as messages grow (nccl-tests busBW semantics)."""
+        topo = slice_topology("v5e", 256)  # wrapped 16x16: W = 4*ici
+        W = topo.total_bw
+        for coll in ("all_reduce", "all_gather", "reduce_scatter"):
+            bw = predicted_bus_bw(coll, 4096 * MB, topo)
+            assert bw == pytest.approx(W, rel=0.01), coll
+
+    def test_latency_dominates_small_messages(self):
+        topo = slice_topology("v5e", 256)
+        t_small = predict_collective_us("all_reduce", 4, topo)
+        # 2 * (16-1)*2 hops * 1 us
+        assert t_small >= 2 * 30 * topo.gen.hop_latency_us
+
+    def test_monotone_in_size(self):
+        topo = slice_topology("v5e", 64)
+        ts = [
+            predict_collective_us("all_to_all", s, topo)
+            for s in (MB, 4 * MB, 16 * MB, 64 * MB)
+        ]
+        assert ts == sorted(ts) and ts[0] < ts[-1]
+
+    def test_all_to_all_scales_with_axis_length(self):
+        """Bisection honesty: per-rank-payload a2a grows ~linearly with
+        ring length (unlike the switch-fabric (n-1)/n convention).
+        Compare like-for-like open meshes (16 = 4x4, 64 = 8x8)."""
+        b = 64 * MB
+        t16 = predict_collective_us("all_to_all", b, slice_topology("v5e", 16))
+        t64 = predict_collective_us("all_to_all", b, slice_topology("v5e", 64))
+        assert t64 > t16 * 1.5  # axis length doubled, same wrap state
+
+    def test_wrap_halves_all_to_all(self):
+        gen = GENERATIONS["v5e"]
+        b = 64 * MB
+        wrapped = Topology(gen, (16, 16), (True, True))
+        open_ = Topology(gen, (16, 16), (False, False))
+        tw = predict_collective_us("all_to_all", b, wrapped)
+        to = predict_collective_us("all_to_all", b, open_)
+        # wrapped: a/4 hops at 2x bandwidth => 4x faster per axis
+        assert to == pytest.approx(4 * tw, rel=0.05)
+
+    def test_dcn_composition_slower_than_ici(self):
+        b = 64 * MB
+        one_pod = predict_collective_us("all_reduce", b, slice_topology("v5e", 256))
+        two_pods = predict_collective_us("all_reduce", b, slice_topology("v5e", 512))
+        assert two_pods > one_pod
+
+    def test_rooted_ops_slower_than_ring(self):
+        topo = slice_topology("v5e", 256)
+        b = 64 * MB
+        assert predict_collective_us("gather", b, topo) > predict_collective_us(
+            "all_gather", b, topo
+        )
+
+    def test_aliases_and_unknown(self):
+        topo = slice_topology("v5e", 16)
+        assert predict_collective_us(
+            "all_gather_base", MB, topo
+        ) == predict_collective_us("all_gather", MB, topo)
+        assert predict_collective_us(
+            "all_to_allv", MB, topo
+        ) == predict_collective_us("all_to_all", MB, topo)
+        with pytest.raises(ValueError):
+            predict_collective_us("nonsense", MB, topo)
+
+    def test_bitwidth_scales_wire_time(self):
+        topo = slice_topology("v5e", 256)
+        t32 = predict_collective_us("all_reduce", 256 * MB, topo, bitwidth=32)
+        t8 = predict_collective_us("all_reduce", 256 * MB, topo, bitwidth=8)
+        lat = 2 * sum(a - 1 for a in topo.torus) * topo.gen.hop_latency_us
+        assert (t8 - lat) == pytest.approx((t32 - lat) / 4, rel=1e-6)
+
+    def test_single_chip_is_free(self):
+        topo = slice_topology("v5e", 1)
+        assert predict_collective_us("all_reduce", MB, topo) == 0.0
+
+
+class TestTraceLevel:
+    def _ops(self):
+        return [
+            CommsOp(id=0, comms="all_reduce", in_msg_size=1 << 20, dtype="float32"),
+            CommsOp(id=1, comms="all_to_allv", in_msg_size=1 << 18, dtype="float16"),
+            CommsOp(id=2, comms="all_gather", in_msg_size=1 << 16, dtype="float32"),
+            CommsOp(id=3, comms="wait"),
+            CommsOp(id=4, compute="gemm", mm_dims=[64, 64, 64, 64]),
+            CommsOp(id=5, comms="barrier"),
+        ]
+
+    def test_predict_trace_counts(self):
+        topo = slice_topology("v5e", 64)
+        p = predict_trace(self._ops(), topo)
+        # all_reduce + a2av + all_gather + barrier modeled; wait dropped;
+        # compute skipped
+        assert p.n_ops == 4
+        assert p.skipped == 1
+        assert p.total_us > 0
+        assert set(p.per_op) == {"all_reduce", "all_to_all", "all_gather", "barrier"}
+        assert p.total_bytes == (1 << 20) * 4 + (1 << 18) * 2 + (1 << 16) * 4
+
+    def test_predict_worlds_monotone_for_bisection_ops(self):
+        # open-mesh worlds (full-pod wrap is a legitimate discontinuity:
+        # a/4 hops at 2x axis bandwidth)
+        preds = predict_worlds(self._ops(), "v5e", [8, 16, 64])
+        a2a = [p.per_op["all_to_all"].time_us for p in preds]
+        assert a2a == sorted(a2a)
+
+    def test_report_formats(self):
+        preds = predict_worlds(self._ops(), "v5e", [8, 64])
+        rep = format_report(preds)
+        assert "world" in rep and "64" in rep
+        assert all(len(line.split()) >= 7 for line in rep.splitlines())
+
+    def test_rows_json_safe(self):
+        import json
+
+        preds = predict_worlds(self._ops(), "v5e", [8])
+        json.dumps([p.row() for p in preds])
+
+
+class TestCli:
+    def test_collective_mode(self, capsys):
+        from param_tpu.cli.scaling import main
+
+        rc = main(
+            [
+                "--collective", "all_reduce", "--size", "64M",
+                "--generation", "v5e", "--worlds", "8", "64", "256",
+                "--json",
+            ]
+        )
+        assert rc == 0
+        import json
+
+        rows = json.loads(capsys.readouterr().out)
+        assert [r["world"] for r in rows] == [8, 64, 256]
+        assert all(r["time_us"] > 0 for r in rows)
+
+    def test_trace_mode(self, tmp_path, capsys):
+        import json
+
+        from param_tpu.cli.scaling import main
+        from param_tpu.trace.comms_trace import dump_trace_file
+
+        ops = [
+            {"comms": "all_reduce", "in_msg_size": 1 << 20,
+             "out_msg_size": 1 << 20, "dtype": "float32"},
+            {"comms": "all_to_all", "in_msg_size": 1 << 18,
+             "out_msg_size": 1 << 18, "dtype": "float32"},
+        ]
+        p = tmp_path / "t.json"
+        dump_trace_file(ops, str(p))
+        rc = main(["--trace-path", str(p), "--worlds", "8", "64", "--json"])
+        assert rc == 0
+        rows = json.loads(capsys.readouterr().out)
+        assert len(rows) == 2 and rows[0]["ops"] == 2
+
+    def test_trace_mode_human(self, tmp_path, capsys):
+        from param_tpu.cli.scaling import main
+        from param_tpu.trace.comms_trace import dump_trace_file
+
+        p = tmp_path / "t.json"
+        dump_trace_file(
+            [{"comms": "all_reduce", "in_msg_size": 4096,
+              "out_msg_size": 4096, "dtype": "float32"}],
+            str(p),
+        )
+        assert main(["--trace-path", str(p), "--worlds", "16"]) == 0
+        out = capsys.readouterr().out
+        assert "per-op breakdown" in out and "all_reduce" in out
