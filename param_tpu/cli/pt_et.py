@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fuse the whole op stream into ONE XLA program and "
                          "time it with scalar-fetch delta-N chains (the "
                          "trustworthy mode on remote-attached TPUs)")
+    ap.add_argument("--cast", default=None, choices=[None, "bf16"],
+                    help="what-if precision: materialize the recorded fp32 "
+                         "tensors as bfloat16 (TPU-native) before replay")
     ap.add_argument("--skip-config", default=None,
                     help="JSON skip config; auto-updated with failing ops")
     ap.add_argument("--codegen", default=None, metavar="OUT.py",
@@ -88,7 +91,7 @@ def main(argv=None) -> int:
     replayer = PyTorchOpReplay(
         data, max_ops=ns.max_ops, skip_names=skip,
         skip_config_path=ns.skip_config, mode=ns.mode, backend=backend,
-        target_rank=ns.target_rank,
+        target_rank=ns.target_rank, cast=ns.cast,
     )
     print(f"selected {len(replayer.nodes)} ATen ops "
           f"(schema {replayer.et.schema})")

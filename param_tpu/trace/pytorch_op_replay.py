@@ -703,10 +703,13 @@ def _pool_dims(x, kernel, stride, padding):
 
 def _max_pool_fwd(x, kernel, stride, padding):
     import jax.lax as lax
+    import jax.numpy as jnp
 
     k, s, p = _pool_dims(x, kernel, stride, padding)
+    # jnp.issubdtype (not np.): bfloat16 has numpy kind 'V' and would be
+    # mis-routed to the integer branch
     return lax.reduce_window(
-        x, -np.inf if np.issubdtype(x.dtype, np.floating) else np.iinfo(
+        x, -np.inf if jnp.issubdtype(x.dtype, jnp.floating) else np.iinfo(
             x.dtype).min,
         lax.max,
         window_dimensions=(1, 1) + k,
@@ -776,7 +779,7 @@ def _factory(a, meta):
 
     shape = [int(d) for d in a[0]] if isinstance(a[0], (list, tuple)) else []
     fill = jnp.ones if meta["name"] == "aten::ones" else jnp.zeros
-    return [fill(shape, dtype=jnp.float32)]
+    return [fill(shape, dtype=meta.get("float_dtype", jnp.float32))]
 
 
 @aten("aten::full")
@@ -784,7 +787,7 @@ def _full(a, meta):
     import jax.numpy as jnp
 
     shape = [int(d) for d in a[0]] if isinstance(a[0], (list, tuple)) else []
-    return [jnp.full(shape, a[1], dtype=jnp.float32)]
+    return [jnp.full(shape, a[1], dtype=meta.get("float_dtype", jnp.float32))]
 
 
 @aten("aten::arange")
@@ -1208,6 +1211,7 @@ class PyTorchOpReplay:
         target_rank: int = 0,
         auto_shrink: bool = True,
         triton_surrogate: bool = True,
+        cast: Optional[str] = None,
     ):
         """``mode="comp"`` replays the ATen stream only (reference
         ReplayMode.COMP); ``mode="full"`` interleaves the
@@ -1217,6 +1221,16 @@ class PyTorchOpReplay:
         assert mode in ("comp", "full"), mode
         if mode == "full" and backend is None:
             raise ValueError("full mode needs a backend")
+        # what-if dtype cast: replay the recorded fp32 op stream in bf16,
+        # the TPU-native precision (the trace stays the source of truth for
+        # shapes/ops; only float tensor materialization changes).  The
+        # reference has no analogue — its replay is bound to the recorded
+        # torch dtypes.
+        import jax.numpy as jnp
+
+        assert cast in (None, "bf16", "bfloat16"), cast
+        self._float_dtype = jnp.bfloat16 if cast else jnp.float32
+        self.cast = bool(cast)
         self.et = PyTorchETrace(data)
         self.mode = mode
         self.triton_surrogate = triton_surrogate
@@ -1289,6 +1303,8 @@ class PyTorchOpReplay:
         rng = np.random.default_rng(0 if key is None else key[0])
         if np.issubdtype(np.dtype(dt) if dt != jnp.bfloat16 else np.float32,
                          np.floating) or dt == jnp.bfloat16:
+            if self.cast and dt in (np.float32, np.float64):
+                dt = jnp.bfloat16
             arr = rng.random(shape, dtype=np.float32).astype(dt)
         elif dt == np.bool_:
             # all-true masks keep the dataflow live (dropout masks, where
@@ -1401,7 +1417,8 @@ class PyTorchOpReplay:
             return fn
         impl = _ATEN[node.name]
         meta = {"name": node.name, "schema": node.op_schema,
-                "out_shapes": node.output_shapes}
+                "out_shapes": node.output_shapes,
+                "float_dtype": self._float_dtype}
 
         def rebuild(arrs):
             out, it = [], iter(arrs)
@@ -1655,7 +1672,8 @@ class PyTorchOpReplay:
                     impl = _ATEN[node.name]
                     outs = impl(args, {"name": node.name,
                                        "schema": node.op_schema,
-                                       "out_shapes": node.output_shapes})
+                                       "out_shapes": node.output_shapes,
+                                       "float_dtype": self._float_dtype})
                 self._register_outputs(node, list(outs))
                 for o in outs:
                     for leaf in (o if isinstance(o, list) else [o]):

@@ -115,6 +115,30 @@ class TestLinearEt:
         assert out.returncode == 0, out.stderr[-1500:]
         assert "one iteration:" in out.stdout
 
+    def test_bf16_cast_replay(self, linear_et):
+        """--cast bf16 what-if: the recorded fp32 stream replays with
+        bfloat16 tensor materialization, zero skips, and the dataflow is
+        genuinely bf16 (checked via the registry's forward activations)."""
+        import jax.numpy as jnp
+
+        from param_tpu.trace.pytorch_op_replay import PyTorchOpReplay
+
+        r = PyTorchOpReplay(linear_et, max_ops=120, cast="bf16")
+        rep = r.replay(iters=1)
+        assert rep["num_executed"] == 120
+        assert rep["skipped"] == {}
+        dts = {str(v.dtype) for v in r.registry.values()
+               if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)}
+        assert "bfloat16" in dts
+        assert "float32" not in dts
+
+    def test_bf16_cast_chain_mode(self, linear_et):
+        from param_tpu.trace.pytorch_op_replay import PyTorchOpReplay
+
+        r = PyTorchOpReplay(linear_et, max_ops=60, cast="bf16")
+        t = r.measure_chain_iteration(n_hi=4, max_n=8)
+        assert t > 0 and r.skipped == {}
+
     def test_chain_mode_runs_fused(self, linear_et):
         """The whole supported op stream compiles into ONE XLA program and
         times positively via scalar-fetch delta-N (no reference analogue —
