@@ -50,6 +50,22 @@ if [ -f /root/reference/et_replay/tests/inputs/dlrm_pytorch_et.tar.gz ]; then
     --trace-type pytorch_et --auto-shrink --dry-run
 fi
 
+echo "== scaling what-if estimator"
+python -m param_tpu.cli.scaling --collective all_reduce --size 16M \
+  --generation v5e --worlds 8 64 256
+python -m param_tpu.cli.scaling --trace-path "$TMP/comms_trace.json" \
+  --worlds 8 64 --json > /dev/null
+
+if [ -f /root/reference/et_replay/tests/inputs/linear_et.json.gz ]; then
+  echo "== pt-ET op replay (+bf16 what-if)"
+  python -m param_tpu.cli.pt_et \
+    --trace /root/reference/et_replay/tests/inputs/linear_et.json.gz \
+    --max-ops 40 --top 5
+  python -m param_tpu.cli.pt_et \
+    --trace /root/reference/et_replay/tests/inputs/linear_et.json.gz \
+    --max-ops 40 --cast bf16 --top 5
+fi
+
 echo "== compute tier"
 python -m param_tpu.cli.compute gemm --shape 64,64,64 --chain 3 --reps 1
 python -m param_tpu.cli.cvt --layer stage0.block0.conv_proj_q \
