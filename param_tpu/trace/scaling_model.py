@@ -78,13 +78,27 @@ class GenSpec:
     chips_per_host: int
     dcn_gbs_per_host: float = 25.0  # one direction
     hop_latency_us: float = 1.0
+    # per-chip compute roofline (public spec-sheet figures)
+    mxu_tflops_bf16: float = 197.0
+    hbm_gbs: float = 819.0
+    # sparse-gather DMA issue rate: rows/s ceiling measured on this repo's
+    # v5e (RESULTS.md gather studies: ~80-95 M rows/s, issue-bound);
+    # scaled by HBM ratio for other generations
+    gather_rows_per_s: float = 80e6
 
 
 GENERATIONS: Dict[str, GenSpec] = {
-    "v4": GenSpec("v4", 50.0, (16, 16, 16), 4),
-    "v5e": GenSpec("v5e", 50.0, (16, 16), 8),
-    "v5p": GenSpec("v5p", 100.0, (16, 20, 28), 4),
-    "v6e": GenSpec("v6e", 100.0, (16, 16), 8),
+    "v4": GenSpec("v4", 50.0, (16, 16, 16), 4,
+                  mxu_tflops_bf16=275.0, hbm_gbs=1228.0,
+                  gather_rows_per_s=80e6 * 1228 / 819),
+    "v5e": GenSpec("v5e", 50.0, (16, 16), 8,
+                   mxu_tflops_bf16=197.0, hbm_gbs=819.0),
+    "v5p": GenSpec("v5p", 100.0, (16, 20, 28), 4,
+                   mxu_tflops_bf16=459.0, hbm_gbs=2765.0,
+                   gather_rows_per_s=80e6 * 2765 / 819),
+    "v6e": GenSpec("v6e", 100.0, (16, 16), 8,
+                   mxu_tflops_bf16=918.0, hbm_gbs=1640.0,
+                   gather_rows_per_s=80e6 * 1640 / 819),
 }
 
 
@@ -322,6 +336,33 @@ def predict_collective_us(
     return _ici_time_us(name, B, topo) + _dcn_time_us(name, B, topo)
 
 
+def predict_compute_us(op, gen: GenSpec, bitwidth: int = 32) -> Optional[float]:
+    """Roofline estimate (us) for an embedded compute element of a comm
+    trace (``compute:gemm`` / ``compute:emb_lookup``, the replayer's
+    run_compute surface — reference prepComputeReplay,
+    commsTraceReplay.py:853-932).  max(MXU time, HBM time); embedding
+    lookups additionally respect the measured sparse-gather DMA issue
+    ceiling (RESULTS.md gather studies).  Returns None for unknown kinds."""
+    kind = getattr(op, "compute", None)
+    esize = dtype_size(dtype_from_name(getattr(op, "dtype", "float32") or "float32"))
+    reps = max(1, int(getattr(op, "count", 1) or 1))
+    if kind == "gemm" and getattr(op, "mm_dims", None):
+        m, k, _, n = (list(op.mm_dims) + [1, 1, 1, 1])[:4]
+        flops = 2.0 * m * k * n
+        bytes_ = (m * k + k * n + m * n) * esize
+        t_mxu = flops / (gen.mxu_tflops_bf16 * 1e12) * 1e6  # us
+        # fp32 inputs still run MXU bf16 passes under XLA default precision
+        t_hbm = _us(bytes_, gen.hbm_gbs)
+        return reps * max(t_mxu, t_hbm)
+    if kind == "emb_lookup":
+        rows = max(1, op.batch_size) * max(1, op.bag_size)
+        bytes_ = rows * max(1, op.emb_dim) * esize
+        t_hbm = _us(bytes_, gen.hbm_gbs)
+        t_issue = rows / gen.gather_rows_per_s * 1e6
+        return reps * max(t_hbm, t_issue)
+    return None
+
+
 def predicted_bus_bw(
     collective: str, size_bytes: int, topo: Topology, bitwidth: int = 32
 ) -> float:
@@ -352,6 +393,18 @@ class TracePrediction:
     total_bytes: int = 0
     n_ops: int = 0
     skipped: int = 0
+    compute_us: float = 0.0
+    n_compute: int = 0
+
+    @property
+    def serial_us(self) -> float:
+        """Iteration bound with zero comm/compute overlap."""
+        return self.total_us + self.compute_us
+
+    @property
+    def overlap_us(self) -> float:
+        """Iteration bound with perfect comm/compute overlap."""
+        return max(self.total_us, self.compute_us)
 
     def row(self) -> dict:
         return {
@@ -361,6 +414,9 @@ class TracePrediction:
             "ops": self.n_ops,
             "bytes": self.total_bytes,
             "comm_us": round(self.total_us, 1),
+            "compute_us": round(self.compute_us, 1),
+            "serial_us": round(self.serial_us, 1),
+            "overlap_us": round(self.overlap_us, 1),
         }
 
 
@@ -382,8 +438,12 @@ def predict_trace(
     for op in ops:
         name = getattr(op, "comms", None)
         if not name:
-            if getattr(op, "compute", None):
-                pred.skipped += 1  # comm-time model only
+            tc = predict_compute_us(op, topo.gen, bitwidth)
+            if tc is not None:
+                pred.compute_us += tc
+                pred.n_compute += 1
+            elif getattr(op, "compute", None):
+                pred.skipped += 1  # unknown compute kind
             continue
         if name in ("wait", "init"):
             continue
@@ -426,20 +486,21 @@ def predict_worlds(
 
 
 def format_report(preds: Sequence[TracePrediction]) -> str:
-    """COMMS-RES-style table of the what-if sweep."""
+    """COMMS-RES-style table of the what-if sweep.  ``serial``/``overlap``
+    bracket the iteration time (zero vs perfect comm/compute overlap)."""
     lines = [
         f"{'world':>6} {'torus':>16} {'ops':>6} {'skip':>5} "
-        f"{'GB moved':>10} {'comm ms':>10} {'eff busBW GB/s':>15}"
+        f"{'GB moved':>10} {'comm ms':>10} {'compute ms':>11} "
+        f"{'serial ms':>10} {'overlap ms':>11}"
     ]
     for p in preds:
         gb = p.total_bytes / 1e9
-        ms = p.total_us / 1e3
-        eff = (p.total_bytes / 1e9) / (p.total_us / 1e6) if p.total_us else 0.0
         torus = "x".join(map(str, p.topo.torus)) + (
             f"*{p.topo.n_pods}p" if p.topo.n_pods > 1 else ""
         )
         lines.append(
             f"{p.topo.n_chips:>6} {torus:>16} {p.n_ops:>6} {p.skipped:>5} "
-            f"{gb:>10.3f} {ms:>10.3f} {eff:>15.2f}"
+            f"{gb:>10.3f} {p.total_us/1e3:>10.3f} {p.compute_us/1e3:>11.3f} "
+            f"{p.serial_us/1e3:>10.3f} {p.overlap_us/1e3:>11.3f}"
         )
     return "\n".join(lines)

@@ -166,9 +166,13 @@ class TestTraceLevel:
         topo = slice_topology("v5e", 64)
         p = predict_trace(self._ops(), topo)
         # all_reduce + a2av + all_gather + barrier modeled; wait dropped;
-        # compute skipped
+        # the gemm compute element gets a roofline estimate
         assert p.n_ops == 4
-        assert p.skipped == 1
+        assert p.skipped == 0
+        assert p.n_compute == 1
+        assert p.compute_us > 0
+        assert p.serial_us == pytest.approx(p.total_us + p.compute_us)
+        assert p.overlap_us == max(p.total_us, p.compute_us)
         assert p.total_us > 0
         assert set(p.per_op) == {"all_reduce", "all_to_all", "all_gather", "barrier"}
         assert p.total_bytes == (1 << 20) * 4 + (1 << 18) * 2 + (1 << 16) * 4
@@ -185,6 +189,40 @@ class TestTraceLevel:
         rep = format_report(preds)
         assert "world" in rep and "64" in rep
         assert all(len(line.split()) >= 7 for line in rep.splitlines())
+
+    def test_compute_roofline(self):
+        from param_tpu.trace.scaling_model import GENERATIONS, predict_compute_us
+
+        gen = GENERATIONS["v5e"]
+        # big gemm: MXU-bound — time ~ flops / peak
+        big = CommsOp(compute="gemm", mm_dims=[4096, 4096, 4096, 4096],
+                      dtype="bfloat16")
+        t = predict_compute_us(big, gen)
+        assert t == pytest.approx(2 * 4096**3 / (gen.mxu_tflops_bf16 * 1e12) * 1e6,
+                                  rel=1e-6)
+        # skinny gemm: HBM-bound — time ~ bytes / hbm
+        thin = CommsOp(compute="gemm", mm_dims=[1, 4096, 4096, 4096],
+                       dtype="float32")
+        t2 = predict_compute_us(thin, gen)
+        assert t2 == pytest.approx(4096 * 4096 * 4 / (gen.hbm_gbs * 1e9) * 1e6,
+                                   rel=0.01)
+        # emb lookup: small rows -> issue-rate-bound
+        emb = CommsOp(compute="emb_lookup", num_embs=1_000_000, emb_dim=8,
+                      batch_size=8192, bag_size=30, dtype="float32")
+        t3 = predict_compute_us(emb, gen)
+        assert t3 == pytest.approx(8192 * 30 / gen.gather_rows_per_s * 1e6,
+                                   rel=1e-6)
+        # unknown kind -> None
+        assert predict_compute_us(CommsOp(compute="mystery"), gen) is None
+
+    def test_compute_scales_with_generation(self):
+        from param_tpu.trace.scaling_model import GENERATIONS, predict_compute_us
+
+        big = CommsOp(compute="gemm", mm_dims=[8192, 8192, 8192, 8192],
+                      dtype="bfloat16")
+        t5e = predict_compute_us(big, GENERATIONS["v5e"])
+        t5p = predict_compute_us(big, GENERATIONS["v5p"])
+        assert t5p < t5e
 
     def test_rows_json_safe(self):
         import json
