@@ -63,6 +63,22 @@ def build_parser() -> argparse.ArgumentParser:
     l.add_argument("--chain", type=int, default=8)
     l.add_argument("--reps", type=int, default=2)
 
+    a = sub.add_parser("attention", help="fused-attention bench (flash "
+                       "kernel vs unfused XLA; beyond-reference tier)")
+    a.add_argument("--dataset", default="gpt2", choices=["gpt2", "llama2"])
+    a.add_argument("--shape", default=None,
+                   help="explicit batch,heads,seq,headdim (overrides "
+                        "--dataset)")
+    a.add_argument("--dtype", default="bfloat16")
+    a.add_argument("--paths", default="xla,flash",
+                   help="comma list of xla|flash|jax-flash|dpa")
+    a.add_argument("--no-causal", action="store_true",
+                   help="bidirectional attention (default causal)")
+    a.add_argument("--block-q", type=int, default=1024)
+    a.add_argument("--block-k", type=int, default=1024)
+    a.add_argument("--chain", type=int, default=16)
+    a.add_argument("--reps", type=int, default=2)
+
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace into DIR")
     ap.add_argument("--log", default="INFO")
@@ -122,6 +138,20 @@ def main(argv=None) -> int:
         results = bench_emb(
             configs, dtype=ns.dtype, n_hi=ns.chain, reps=ns.reps,
             distribution=ns.distribution, max_rows=ns.max_rows or None,
+        )
+    elif ns.cmd == "attention":
+        from param_tpu.ops.compute_bench import bench_attention
+
+        configs = (
+            [tuple(int(x) for x in ns.shape.split(","))]
+            if ns.shape
+            else datasets.ATTN_DATASETS[ns.dataset]
+        )
+        results = bench_attention(
+            configs, dtype=ns.dtype, causal=not ns.no_causal,
+            paths=[p.strip() for p in ns.paths.split(",") if p.strip()],
+            n_hi=ns.chain, reps=ns.reps,
+            block_q=ns.block_q, block_k=ns.block_k,
         )
     else:
         configs = (

@@ -340,6 +340,76 @@ def bench_mlp(
     return results
 
 
+def bench_attention(
+    shapes: List[tuple],
+    dtype: str = "bfloat16",
+    causal: bool = True,
+    paths: Optional[List[str]] = None,
+    n_hi: int = 16,
+    reps: int = 2,
+    block_q: int = 1024,
+    block_k: int = 1024,
+) -> List[ComputeResult]:
+    """Fused-attention rows (beyond-reference tier; see ops/attention.py).
+
+    Per shape, measures each requested path — 'xla' (unfused oracle, the
+    cost the PyTorch trace's op stream pays), 'flash' (our Pallas online
+    -softmax kernel), 'jax-flash' (jax's bundled pallas kernel, A/B
+    baseline), 'dpa' (jax.nn.dot_product_attention) — as a scalar-fetch
+    chain with per-step Q perturbation.  TF/s uses the causal-aware flop
+    count, roofline vs the chip MXU peak."""
+    from param_tpu.ops.attention import (
+        attention_flops, flash_attention, make_attention)
+
+    dt = dtype_from_name(dtype)
+    chip = detect_chip()
+    peak = matmul_roofline_tflops(chip, dtype)
+    paths = paths or ["xla", "flash"]
+    results = []
+    for b, h, s, d in shapes:
+        rng = np.random.default_rng(0)
+
+        def _mk(seed):
+            r = np.random.default_rng(seed)
+            return (jnp.asarray(
+                r.standard_normal((b, h, s, d), dtype=np.float32)) * 0.1
+            ).astype(dt)
+
+        q, k, v = _mk(0), _mk(1), _mk(2)
+        for path in paths:
+            if path == "flash":
+                op = functools.partial(
+                    flash_attention, causal=causal,
+                    block_q=block_q, block_k=block_k)
+            else:
+                op = make_attention(path, causal=causal)
+
+            @functools.partial(jax.jit, static_argnames="nn")
+            def chain(q, k, v, nn, op=op):
+                def step(st, i):
+                    out = op(
+                        q + i.astype(q.dtype) * jnp.asarray(1e-6, q.dtype),
+                        k, v)
+                    return st + jnp.sum(out.astype(jnp.float32)), None
+
+                st, _ = lax.scan(step, jnp.float32(0), jnp.arange(nn))
+                return st
+
+            try:
+                per = measure_chain(lambda nn: chain(q, k, v, nn=nn),
+                                    n_lo=1, n_hi=n_hi, reps=reps)
+            except Exception:
+                log.exception("attention %s path=%s failed",
+                              (b, h, s, d), path)
+                continue
+            tf = attention_flops(b, h, s, s, d, causal) / per / 1e12
+            results.append(_report(ComputeResult(
+                op=f"att:{path}", shape=(b, h, s, d), lat_us=per * 1e6,
+                tflops=tf, roofline_frac=tf / peak if peak else 0.0,
+            ), dtype))
+    return results
+
+
 def print_results(results: List[ComputeResult], dtype: str) -> None:
     chip = detect_chip()
     print(f"\nCOMPUTE-RES chip={chip.name} dtype={dtype}")

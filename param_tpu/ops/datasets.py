@@ -48,10 +48,19 @@ MLP_A = [
     (18, 4096, 4096, 4096, b) for b in (128, 256, 512, 1024, 2048, 4096)
 ]
 
+# attention tuple (batch, heads, seq, head-dim) — beyond-reference tier for
+# the transformer workloads the ET replayer ingests (hf_GPT2 fixture heads
+# config; llama2 rows match the LLaMA-2-7B GEMM configs already in
+# RESULTS.md).  Self-attention (S_q == S_k); decode (S_q=1) is a
+# memory-bound gather problem, covered by the embedding tier instead.
+ATTN_GPT2 = [(b, 12, 1024, 64) for b in (1, 8, 32)]
+ATTN_LLAMA2 = [(1, 32, 2048, 128), (1, 32, 4096, 128), (4, 32, 2048, 128)]
+
 DATASETS = {
     "A": GEMM_A, "B": GEMM_B, "C": GEMM_C,
 }
 
 GEMM_DATASETS = {"A": GEMM_A, "B": GEMM_B, "C": GEMM_C}
+ATTN_DATASETS = {"gpt2": ATTN_GPT2, "llama2": ATTN_LLAMA2}
 EMB_DATASETS = {"A": EMB_A, "B": EMB_B, "baseline": EMB_BASELINE}
 MLP_DATASETS = {"A": MLP_A}

@@ -1,0 +1,84 @@
+"""Flash-attention kernel parity (ops/attention.py).
+
+The Pallas kernel runs in interpret mode on the CPU mesh; the oracle is
+the unfused XLA attention, itself pinned against torch sdpa."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from param_tpu.ops.attention import (
+    attention_bytes,
+    attention_flops,
+    flash_attention,
+    mha_reference,
+)
+
+
+def _rand(shape, dtype, seed):
+    k = jax.random.PRNGKey(seed)
+    return jax.random.normal(k, shape, dtype=jnp.float32).astype(dtype)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_flash_matches_reference(causal, dtype):
+    b, h, s, d = 2, 3, 256, 128
+    q = _rand((b, h, s, d), dtype, 0)
+    k = _rand((b, h, s, d), dtype, 1)
+    v = _rand((b, h, s, d), dtype, 2)
+    ref = mha_reference(q, k, v, causal=causal)
+    out = flash_attention(q, k, v, causal=causal, block_q=128, block_k=128)
+    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=tol, rtol=tol)
+
+
+def test_flash_decode_rectangular():
+    """S_q != S_k with causal: the diagonal sits bottom-right (a decode
+    step attends to the whole prefix) — torch sdpa semantics."""
+    b, h, sq, sk, d = 1, 2, 128, 512, 128
+    q = _rand((b, h, sq, d), jnp.float32, 3)
+    k = _rand((b, h, sk, d), jnp.float32, 4)
+    v = _rand((b, h, sk, d), jnp.float32, 5)
+    ref = mha_reference(q, k, v, causal=True)
+    out = flash_attention(q, k, v, causal=True, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_multiblock_q_and_k():
+    b, h, s, d = 1, 1, 1024, 128
+    q = _rand((b, h, s, d), jnp.float32, 6)
+    k = _rand((b, h, s, d), jnp.float32, 7)
+    v = _rand((b, h, s, d), jnp.float32, 8)
+    ref = mha_reference(q, k, v, causal=True)
+    out = flash_attention(q, k, v, causal=True, block_q=256, block_k=256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_reference_matches_torch_sdpa():
+    torch = pytest.importorskip("torch")
+    b, h, s, d = 2, 2, 64, 32
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((b, h, s, d), dtype=np.float32)
+    k = rng.standard_normal((b, h, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, h, s, d), dtype=np.float32)
+    for causal in (False, True):
+        want = torch.nn.functional.scaled_dot_product_attention(
+            torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v),
+            is_causal=causal).numpy()
+        got = np.asarray(mha_reference(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=causal))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_flops_bytes_model():
+    assert attention_flops(1, 1, 128, 128, 64) == 2 * 2 * 128 * 128 * 64
+    assert attention_flops(1, 1, 128, 128, 64, causal=True) == \
+        attention_flops(1, 1, 128, 128, 64) // 2
+    assert attention_bytes(1, 1, 128, 256, 64, 2) == \
+        2 * (2 * 128 * 64 + 2 * 256 * 64)
