@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--cast", default=None, choices=[None, "bf16"],
                     help="what-if precision: materialize the recorded fp32 "
                          "tensors as bfloat16 (TPU-native) before replay")
+    ap.add_argument("--fuse", default=None, choices=[None, "attention"],
+                    help="what-if kernel fusion: pattern-match attention "
+                         "windows (matmul/div/where/softmax/matmul) in the "
+                         "op stream and replay each as ONE flash-attention "
+                         "Pallas call (ops/attention.py)")
     ap.add_argument("--skip-config", default=None,
                     help="JSON skip config; auto-updated with failing ops")
     ap.add_argument("--codegen", default=None, metavar="OUT.py",
@@ -91,10 +96,16 @@ def main(argv=None) -> int:
     replayer = PyTorchOpReplay(
         data, max_ops=ns.max_ops, skip_names=skip,
         skip_config_path=ns.skip_config, mode=ns.mode, backend=backend,
-        target_rank=ns.target_rank, cast=ns.cast,
+        target_rank=ns.target_rank, cast=ns.cast, fuse=ns.fuse,
     )
     print(f"selected {len(replayer.nodes)} ATen ops "
           f"(schema {replayer.et.schema})")
+    if ns.fuse:
+        ws = replayer.fused_windows
+        n_ops = sum(len(w.skip_ids) for w in ws)
+        shapes = sorted({w.shape for w in ws})
+        print(f"fused {len(ws)} attention windows ({n_ops} ops) "
+              f"shapes={shapes}")
 
     if ns.codegen:
         src = replayer.codegen(ns.trace)

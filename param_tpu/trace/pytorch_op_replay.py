@@ -37,6 +37,7 @@ replay config, ``et_replay.py:355-390,458``).
 
 from __future__ import annotations
 
+import functools
 import logging
 import time
 from dataclasses import dataclass, field
@@ -1212,6 +1213,7 @@ class PyTorchOpReplay:
         auto_shrink: bool = True,
         triton_surrogate: bool = True,
         cast: Optional[str] = None,
+        fuse: Optional[str] = None,
     ):
         """``mode="comp"`` replays the ATen stream only (reference
         ReplayMode.COMP); ``mode="full"`` interleaves the
@@ -1243,6 +1245,22 @@ class PyTorchOpReplay:
         self.skipped: Dict[str, str] = {}  # name -> reason
         self._jit_cache: Dict[Any, Any] = {}
         self._select_nodes()
+        # what-if kernel fusion: swap detected attention windows for one
+        # flash-attention call each (trace/attention_fusion.py) — measures
+        # what the recorded model would cost with fused attention on this
+        # chip, complementing the --cast precision what-if.
+        assert fuse in (None, "attention"), fuse
+        self.fused_windows: List[Any] = []
+        self._fused_skip: set = set()
+        self._fused_emit: Dict[int, Any] = {}
+        if fuse == "attention":
+            from param_tpu.trace.attention_fusion import (
+                find_attention_windows)
+
+            self.fused_windows = find_attention_windows(self.nodes)
+            for w in self.fused_windows:
+                self._fused_skip |= w.skip_ids
+                self._fused_emit[w.anchor_id] = w
         self._comms = None
         if mode == "full":
             from param_tpu.trace.replay import CommsReplay, ReplayParams
@@ -1439,6 +1457,24 @@ class PyTorchOpReplay:
         self._jit_cache[key] = fn
         return fn
 
+    def _fused_attention_outs(self, w, abstract: bool = False):
+        """Emit one flash-attention call for a matched window (--fuse
+        attention): q/k/v resolve from the registry exactly like any node
+        input, so they chain off the upstream projection ops."""
+        import jax
+
+        from param_tpu.ops.attention import flash_attention
+
+        q = self._resolve_tensor(w.q[0], w.q[1], w.q[2])
+        k = self._resolve_tensor(w.k[0], w.k[1], w.k[2])
+        v = self._resolve_tensor(w.v[0], w.v[1], w.v[2])
+        fn = functools.partial(
+            flash_attention, causal=w.causal, scale=w.scale)
+        if abstract or any(isinstance(t, jax.ShapeDtypeStruct)
+                           for t in (q, k, v)):
+            return [jax.eval_shape(fn, q, k, v)]
+        return [fn(q, k, v)]
+
     def run_node(self, node: PtNode, timed: bool = True,
                  abstract: bool = False) -> Optional[float]:
         """Replay one node; returns latency in us (None if skipped).
@@ -1452,6 +1488,37 @@ class PyTorchOpReplay:
 
         if node.name in self.skip_names or node.name in self.skipped:
             return None
+        if node.id in self._fused_skip:
+            w = self._fused_emit.get(node.id)
+            if w is None:
+                return None  # interior of a fused attention window
+            try:
+                if abstract:
+                    outs = self._fused_attention_outs(w, abstract=True)
+                    self._register_outputs(node, list(outs))
+                    return 0.0
+                outs = self._fused_attention_outs(w)
+                jax.block_until_ready(outs)
+                if timed:
+                    t0 = time.perf_counter()
+                    outs = self._fused_attention_outs(w)
+                    jax.block_until_ready(outs)
+                    dt = (time.perf_counter() - t0) * 1e6
+                else:
+                    dt = 0.0
+                self._register_outputs(node, list(outs))
+                st = self.stats.setdefault("fused::flash_attention",
+                                           OpStat())
+                st.count += 1
+                if timed:
+                    st.lat_us.append(dt)
+                return dt
+            except Exception as e:
+                # degrade without poisoning the name-keyed skip table
+                # (the anchor is a plain aten::matmul)
+                log.warning("fused attention window at node %d failed: %s",
+                            node.id, e)
+                return None
         if abstract and node.name == "record_param_comms":
             return None  # not part of the fused compute chain
         if node.name == "record_param_comms":
@@ -1618,6 +1685,11 @@ class PyTorchOpReplay:
             "wall_s": wall_s,
             "iters_per_s": iters / wall_s if wall_s > 0 else 0.0,
             "per_op": per_op,
+            "fused_attention_windows": [
+                {"anchor": w.anchor_id, "shape": list(w.shape),
+                 "causal": w.causal, "ops_replaced": len(w.skip_ids)}
+                for w in self.fused_windows
+            ],
         }
 
     # ---------------------------------------------------------- chain mode
@@ -1658,6 +1730,16 @@ class PyTorchOpReplay:
             self.registry = dict(zip(ext_keys, vals))
             outs_scalar = jnp.float32(0)
             for node in runnable:
+                if node.id in self._fused_skip:
+                    w = self._fused_emit.get(node.id)
+                    if w is None:
+                        continue  # interior of a fused attention window
+                    outs = self._fused_attention_outs(w)
+                    self._register_outputs(node, list(outs))
+                    for o in outs:
+                        outs_scalar = outs_scalar + jnp.sum(
+                            o.astype(jnp.float32)) * jnp.float32(1e-30)
+                    continue
                 args, arrays, spec = self._resolve_args(node)
                 if node.kernel_backend == "triton":
                     # inline the traffic-equivalent surrogate (PT2 traces)
