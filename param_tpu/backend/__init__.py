@@ -11,3 +11,9 @@ from param_tpu.backend.base import (  # noqa: F401
 )
 from param_tpu.backend.tpu_backend import TpuBackend  # noqa: F401
 from param_tpu.backend.mock_backend import MockBackend  # noqa: F401
+from param_tpu.backend.torchcomms import (  # noqa: F401
+    ReduceOp,
+    TorchComm,
+    TorchcommsBackend,
+    new_comm,
+)

@@ -1,0 +1,119 @@
+"""torchcomms-style communicator facade (backend/torchcomms.py) on the
+8-device CPU mesh: API surface, async Work semantics, split communicators,
+and dispatch parity when the harness runs with --backend torchcomms."""
+
+import numpy as np
+import pytest
+
+from param_tpu.backend import (
+    CollectiveArgs,
+    ReduceOp,
+    TorchComm,
+    TorchcommsBackend,
+    get_backend_cls,
+    list_backends,
+)
+
+
+def ranked(backend, elems=8, group=None):
+    g = group or backend.get_default_group()
+    return backend.alloc_per_rank(
+        lambda r: np.full((elems,), r + 1, dtype=np.float32), g)
+
+
+@pytest.fixture(scope="module")
+def comm(backend):
+    return TorchComm(backend)
+
+
+class TestCommAPI:
+    def test_registry(self):
+        assert "torchcomms" in list_backends()
+        assert get_backend_cls("torchcomms") is TorchcommsBackend
+
+    def test_all_reduce_sync(self, backend, comm):
+        w = comm.all_reduce(ranked(backend))
+        np.testing.assert_allclose(np.asarray(w.result()), 36.0)
+
+    def test_all_reduce_async_work(self, backend, comm):
+        w = comm.all_reduce(ranked(backend), op=ReduceOp.MAX, async_op=True)
+        assert w.wait()
+        np.testing.assert_allclose(np.asarray(w.result()), 8.0)
+
+    def test_reduce_rooted(self, backend, comm):
+        w = comm.reduce(ranked(backend), root=3, op=ReduceOp.SUM)
+        out = np.asarray(w.result())
+        # byte-honest rooted reduce: only the root shard holds the total
+        assert out.reshape(8, -1)[3][0] == 36.0
+
+    def test_all_gather(self, backend, comm):
+        w = comm.all_gather(ranked(backend, elems=8))
+        assert w.result().size == 8 * 64
+
+    def test_all_to_all(self, backend, comm):
+        w = comm.all_to_all(ranked(backend, elems=8))
+        np.testing.assert_allclose(
+            np.asarray(w.result()).reshape(8, 8),
+            np.tile(np.arange(1, 9), (8, 1)))
+
+    def test_broadcast(self, backend, comm):
+        w = comm.broadcast(ranked(backend), root=5)
+        np.testing.assert_allclose(np.asarray(w.result()), 6.0)
+
+    def test_reduce_scatter(self, backend, comm):
+        w = comm.reduce_scatter(ranked(backend, elems=64))
+        np.testing.assert_allclose(np.asarray(w.result()), 36.0)
+
+    def test_avg(self, backend, comm):
+        w = comm.all_reduce(ranked(backend), op=ReduceOp.AVG)
+        np.testing.assert_allclose(np.asarray(w.result()), 4.5)
+
+    def test_split_subgroup(self, backend):
+        comm = TorchComm(backend)
+        sub = comm.split([0, 1, 2, 3])
+        assert sub.size() == 4
+        x = ranked(backend, group=sub.group)
+        w = sub.all_reduce(x)
+        np.testing.assert_allclose(np.asarray(w.result()), 10.0)
+
+    def test_object_collectives(self, backend, comm):
+        objs = comm.all_gather_object({"rank": "payload"})
+        assert len(objs) == comm.size()
+
+    def test_barrier(self, comm):
+        comm.barrier()
+
+
+class TestHarnessBackend:
+    """--backend torchcomms: the facade under the standard harness path."""
+
+    @pytest.fixture(scope="class")
+    def tc_backend(self):
+        b = TorchcommsBackend()
+        b.initialize()
+        return b
+
+    def test_dispatch_parity(self, backend, tc_backend):
+        for name, expect in [("all_reduce", 36.0), ("broadcast", 1.0)]:
+            x = ranked(tc_backend)
+            out = tc_backend.collective_fn[name](CollectiveArgs(in_tensor=x))
+            tc_backend.complete_ops()
+            np.testing.assert_allclose(np.asarray(out), expect)
+
+    def test_quantized_falls_back(self, tc_backend):
+        x = ranked(tc_backend, elems=64)
+        out = tc_backend.collective_fn["all_reduce"](
+            CollectiveArgs(in_tensor=x, bitwidth=16))
+        tc_backend.complete_ops()
+        np.testing.assert_allclose(np.asarray(out), 36.0, rtol=0.01)
+
+    def test_sweep_through_harness(self, tc_backend):
+        from param_tpu.comms.harness import CommsBench, CommsParams
+
+        bench = CommsBench(tc_backend, CommsParams(dcheck=True))
+        g = tc_backend.get_default_group()
+        for coll in ("all_reduce", "all_to_all", "reduce_scatter"):
+            args = bench.prep_comm(coll, 512, g)
+            out = tc_backend.collective_fn[coll](args)
+            tc_backend.complete_ops()
+            assert bench.dcheck(coll, args, out), coll
