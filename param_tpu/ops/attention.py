@@ -307,6 +307,35 @@ def flash_attention(q, k, v, *, causal: bool = False,
     return out.reshape(b, h, sq, d)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_mha(q, k, v, causal: bool = False, scale: float | None = None):
+    """Training-path attention: flash-kernel forward, XLA-recompute
+    backward.
+
+    The forward runs :func:`flash_attention` (O(S*D) HBM traffic); the
+    backward re-derives grads through the reference XLA attention — exact
+    softmax gradients at O(S^2) bwd memory, the standard
+    remat-the-cheap-direction tradeoff while the kernel has no bwd pass.
+    Drop-in for ``mha_reference`` under ``jax.grad`` (parity pinned in
+    tests/test_attention.py)."""
+    return flash_attention(q, k, v, causal=causal, scale=scale)
+
+
+def _flash_mha_fwd(q, k, v, causal, scale):
+    return flash_attention(q, k, v, causal=causal, scale=scale), (q, k, v)
+
+
+def _flash_mha_bwd(causal, scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: mha_reference(q, k, v, causal=causal, scale=scale),
+        q, k, v)
+    return vjp(g)
+
+
+flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
+
+
 def make_attention(path: str, *, causal: bool = False):
     """Dispatch table for the bench/replay tiers.
 

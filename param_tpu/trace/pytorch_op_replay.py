@@ -872,6 +872,20 @@ def _split(a, meta):
     return [jnp.split(x, splits, axis=dim)]
 
 
+@aten("aten::chunk")
+def _chunk(a, meta):
+    # chunk(Tensor self, int chunks, int dim=0) -> Tensor[]
+    # torch rounds section size UP, so the last chunk may be short
+    import jax.numpy as jnp
+
+    x = a[0]
+    chunks = int(a[1])
+    dim = int(a[2]) if len(a) > 2 else 0
+    step = -(-x.shape[dim] // chunks)
+    splits = list(range(step, x.shape[dim], step))
+    return [jnp.split(x, splits, axis=dim)]
+
+
 @aten("aten::where")
 def _where(a, meta):
     import jax.numpy as jnp

@@ -82,3 +82,51 @@ def test_flops_bytes_model():
         attention_flops(1, 1, 128, 128, 64) // 2
     assert attention_bytes(1, 1, 128, 256, 64, 2) == \
         2 * (2 * 128 * 64 + 2 * 256 * 64)
+
+
+def test_flash_mha_grads_match_reference():
+    """flash_mha under jax.grad == pure-XLA attention grads (custom_vjp
+    recompute path)."""
+    from param_tpu.ops.attention import flash_mha
+
+    b, h, s, d = 1, 2, 256, 128
+    q = _rand((b, h, s, d), jnp.float32, 10)
+    k = _rand((b, h, s, d), jnp.float32, 11)
+    v = _rand((b, h, s, d), jnp.float32, 12)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_mha(q, k, v, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_flash_sharded_over_heads():
+    """Head-parallel flash attention under shard_map on the 8-device mesh
+    (tensor-parallel attention: B*H is embarrassingly parallel)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    b, h, s, d = 1, 8, 256, 128
+    q = _rand((b, h, s, d), jnp.float32, 13)
+    k = _rand((b, h, s, d), jnp.float32, 14)
+    v = _rand((b, h, s, d), jnp.float32, 15)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("tp",))
+
+    def local(q, k, v):
+        return flash_attention(q, k, v, causal=True, block_q=128,
+                               block_k=128)
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "tp"), P(None, "tp"), P(None, "tp")),
+        out_specs=P(None, "tp"), check_vma=False))
+    out = fn(q, k, v)
+    ref = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
