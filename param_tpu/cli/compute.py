@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bidirectional attention (default causal)")
     a.add_argument("--block-q", type=int, default=1024)
     a.add_argument("--block-k", type=int, default=1024)
+    a.add_argument("--grad", action="store_true",
+                   help="time forward+backward via jax.grad (flash path "
+                        "uses flash_mha: Pallas kernels both directions)")
     a.add_argument("--chain", type=int, default=16)
     a.add_argument("--reps", type=int, default=2)
 
@@ -151,7 +154,7 @@ def main(argv=None) -> int:
             configs, dtype=ns.dtype, causal=not ns.no_causal,
             paths=[p.strip() for p in ns.paths.split(",") if p.strip()],
             n_hi=ns.chain, reps=ns.reps,
-            block_q=ns.block_q, block_k=ns.block_k,
+            block_q=ns.block_q, block_k=ns.block_k, grad=ns.grad,
         )
     else:
         configs = (

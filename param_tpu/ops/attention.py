@@ -14,6 +14,10 @@ head.  This module provides the fused TPU counterpart:
   VMEM with the online-softmax recurrence, so HBM traffic is O(S*D) per
   head instead of O(S^2).  fp32 accumulation on the MXU, causal masking
   with block-level skip of fully-masked tiles.
+- :func:`flash_attention_bwd` / :func:`flash_mha` — FlashAttention-2-style
+  Pallas backward (dq and dk/dv kernels recompute probability tiles from
+  the saved logsumexp) wrapped as a custom_vjp, so training steps get
+  O(S*D) attention traffic in both directions.
 
 Used by cli.pt_et ``--fuse attention`` (pattern-matched GPT2 attention
 windows replayed through this kernel — a what-if fusion study in the same
@@ -114,9 +118,9 @@ def _online_softmax_tile(q_ref, k_ref, v_ref, m_ref, l_ref, acc_ref, *,
     m_ref[:] = m_new
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
                   scale: float, block_q: int, block_k: int, causal: bool,
-                  diag_off: int):
+                  diag_off: int, has_lse: bool = False):
     """Rectangular grid (B*H, S_q/block_q, S_k/block_k); the kv dim is
     innermost/'arbitrary' so scratch persists across kv steps and the
     output is finalized on the last step.
@@ -126,6 +130,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     straddling tiles take the masked path, interior ones skip the mask
     work.  Causal shapes WITH skippable tiles go through
     _flash_kernel_causal's compacted walk instead."""
+    if has_lse:
+        lse_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        lse_ref, (m_ref, l_ref, acc_ref) = None, rest
     qi = pl.program_id(1)
     kj = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -150,11 +158,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     @pl.when(kj == n_k - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        if has_lse:
+            lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
 
 
 def _flash_kernel_causal(qi_ref, kj_ref, last_ref, q_ref, k_ref, v_ref,
-                         o_ref, m_ref, l_ref, acc_ref, *, scale: float,
-                         block_q: int, block_k: int, diag_off: int):
+                         o_ref, *rest, scale: float,
+                         block_q: int, block_k: int, diag_off: int,
+                         has_lse: bool = False):
     """Causal grid (B*H, n_processed_tiles): the (qi, kj) walk is COMPACTED
     to lower-triangle tiles via scalar-prefetched index tables, so tiles
     above the diagonal cost no grid steps at all (a rectangular grid with
@@ -163,6 +174,10 @@ def _flash_kernel_causal(qi_ref, kj_ref, last_ref, q_ref, k_ref, v_ref,
 
     Straddling-diagonal tiles take the masked path; interior tiles skip
     the iota/where mask work entirely."""
+    if has_lse:
+        lse_ref, (m_ref, l_ref, acc_ref) = rest[0], rest[1:]
+    else:
+        lse_ref, (m_ref, l_ref, acc_ref) = None, rest
     t = pl.program_id(1)
     qi = qi_ref[t]
     kj = kj_ref[t]
@@ -184,6 +199,8 @@ def _flash_kernel_causal(qi_ref, kj_ref, last_ref, q_ref, k_ref, v_ref,
     @pl.when(last_ref[t] == 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        if has_lse:
+            lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
 
 
 @functools.partial(
@@ -199,6 +216,16 @@ def flash_attention(q, k, v, *, causal: bool = False,
     pass over KV), the (S, S) score matrix never leaves the chip.  Causal
     tiles fully above the diagonal are skipped at block granularity.
     D must be a multiple of 128 lanes for MXU tiling."""
+    return _flash_forward(q, k, v, causal=causal, scale=scale,
+                          block_q=block_q, block_k=block_k,
+                          interpret=interpret, return_lse=False)
+
+
+def _flash_forward(q, k, v, *, causal, scale, block_q, block_k,
+                   interpret, return_lse):
+    """Forward body; with ``return_lse`` also returns the per-row
+    logsumexp residual in the kernel-native layout ``(B*H, S_q, 128)``
+    (value broadcast across the 128 lanes) for the backward kernels."""
     b, h, sq, d = q.shape
     _, _, sk, _ = k.shape
     if scale is None:
@@ -236,6 +263,11 @@ def flash_attention(q, k, v, *, causal: bool = False,
         if j * block_k <= i * block_q + block_q - 1 + diag_off
     ] if causal else []
 
+    out_shape = jax.ShapeDtypeStruct((b * h, sq, d), q.dtype)
+    if return_lse:
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b * h, sq, 128), jnp.float32)]
+
     if causal and len(tiles) < n_q * n_kv:
         # Compacted lower-triangle tile walk (see _flash_kernel_causal):
         # static (qi, kj) tables become scalar-prefetch args feeding the
@@ -251,6 +283,12 @@ def flash_attention(q, k, v, *, causal: bool = False,
                 last[idx] = 1
         last_arr = jnp.asarray(last)
 
+        out_spec = pl.BlockSpec((1, block_q, d),
+                                lambda bh, t, qi, kj, lf: (bh, qi[t], 0))
+        if return_lse:
+            out_spec = [out_spec,
+                        pl.BlockSpec((1, block_q, 128),
+                                     lambda bh, t, qi, kj, lf: (bh, qi[t], 0))]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(b * h, len(tiles)),
@@ -262,17 +300,17 @@ def flash_attention(q, k, v, *, causal: bool = False,
                 pl.BlockSpec((1, block_k, d),
                              lambda bh, t, qi, kj, lf: (bh, kj[t], 0)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, d),
-                                   lambda bh, t, qi, kj, lf: (bh, qi[t], 0)),
+            out_specs=out_spec,
             scratch_shapes=scratch,
         )
         out = pl.pallas_call(
             functools.partial(
                 _flash_kernel_causal, scale=float(scale),
                 block_q=block_q, block_k=block_k, diag_off=diag_off,
+                has_lse=return_lse,
             ),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
                 vmem_limit_bytes=100 * 2**20,
@@ -280,13 +318,20 @@ def flash_attention(q, k, v, *, causal: bool = False,
             cost_estimate=cost,
             interpret=interpret,
         )(qi_arr, kj_arr, last_arr, q3, k3, v3)
+        if return_lse:
+            return out[0].reshape(b, h, sq, d), out[1]
         return out.reshape(b, h, sq, d)
 
+    out_spec = pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0))
+    if return_lse:
+        out_spec = [out_spec,
+                    pl.BlockSpec((1, block_q, 128),
+                                 lambda bh, i, j: (bh, i, 0))]
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=float(scale),
             block_q=block_q, block_k=block_k, causal=causal,
-            diag_off=diag_off,
+            diag_off=diag_off, has_lse=return_lse,
         ),
         grid=(b * h, sq // block_q, sk // block_k),
         in_specs=[
@@ -294,8 +339,8 @@ def flash_attention(q, k, v, *, causal: bool = False,
             pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -304,33 +349,373 @@ def flash_attention(q, k, v, *, causal: bool = False,
         cost_estimate=cost,
         interpret=interpret,
     )(q3, k3, v3)
+    if return_lse:
+        return out[0].reshape(b, h, sq, d), out[1]
     return out.reshape(b, h, sq, d)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels (FlashAttention-2 style)
+#
+# The forward saves only O and the per-row logsumexp L; the backward
+# recomputes each probability tile P_ij = exp(S_ij - L_i) on the fly, so
+# the (S, S) matrices (P, dP, dS) never touch HBM.  Gradients split into
+# two kernels with opposite accumulation directions:
+#   dQ_i = sum_j dS_ij K_j          (kv innermost, dq carried in scratch)
+#   dK_j = sum_i dS_ij^T Q_i        (q innermost, dk/dv carried in scratch)
+#   dV_j = sum_i P_ij^T dO_i
+# with dS_ij = P_ij * (dP_ij - D_i) * scale, dP_ij = dO_i V_j^T and
+# D_i = rowsum(dO_i * O_i) (recomputed per tile — VPU-cheap).
+# Causal shapes reuse the compacted lower-triangle walk of the forward
+# (scalar-prefetched (qi, kj) tables; dq walks rows, dkv walks columns).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_p_ds(q_blk, k_blk, v_blk, do_blk, lse_blk, d_col, *, qi, kj,
+              masked: bool, scale: float, block_q: int, block_k: int,
+              diag_off: int):
+    """Recompute P and dS for one (block_q, block_k) tile."""
+    s = jax.lax.dot_general(
+        q_blk, k_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if masked:
+        rows = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        cols = kj * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(cols <= rows + diag_off, s, _NEG_INF)
+    p = jnp.exp(s - lse_blk[:, :1])     # masked entries: exp(-huge) == 0
+    dp = jax.lax.dot_general(
+        do_blk, v_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - d_col) * scale
+    return p, ds
+
+
+def _bwd_dq_step(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref,
+                 d_scr, dq_acc, *, qi, kj, first, last, masked_fn,
+                 scale, block_q, block_k, diag_off):
+    @pl.when(first)
+    def _init():
+        d_scr[:] = jnp.broadcast_to(
+            jnp.sum(do_ref[0].astype(jnp.float32) *
+                    o_ref[0].astype(jnp.float32), axis=1, keepdims=True),
+            d_scr.shape)
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    def tile(masked):
+        _, ds = _bwd_p_ds(q_ref[0], k_ref[0], v_ref[0], do_ref[0],
+                          lse_ref[0], d_scr[:, :1], qi=qi, kj=kj,
+                          masked=masked, scale=scale, block_q=block_q,
+                          block_k=block_k, diag_off=diag_off)
+        dq_acc[:] += jax.lax.dot_general(
+            ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    masked_fn(tile)
+
+    @pl.when(last)
+    def _finalize():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_step(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                  dk_ref, dv_ref, dk_acc, dv_acc, *, qi, kj, first, last,
+                  masked_fn, scale, block_q, block_k, diag_off):
+    @pl.when(first)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    def tile(masked):
+        d_col = jnp.sum(do_ref[0].astype(jnp.float32) *
+                        o_ref[0].astype(jnp.float32), axis=1, keepdims=True)
+        p, ds = _bwd_p_ds(q_ref[0], k_ref[0], v_ref[0], do_ref[0],
+                          lse_ref[0], d_col, qi=qi, kj=kj, masked=masked,
+                          scale=scale, block_q=block_q, block_k=block_k,
+                          diag_off=diag_off)
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_acc[:] += jax.lax.dot_general(
+            ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    masked_fn(tile)
+
+    @pl.when(last)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _masked_dispatch(causal, qi, kj, block_q, block_k, diag_off):
+    """Run the tile body through the interior (unmasked) or straddle
+    (masked) path, mirroring the forward's pl.when split."""
+    if not causal:
+        return lambda tile: tile(False)
+
+    def run(tile):
+        interior = kj * block_k + block_k - 1 <= qi * block_q + diag_off
+        pl.when(interior)(functools.partial(tile, False))
+        pl.when(~interior)(functools.partial(tile, True))
+    return run
+
+
+def _bwd_dq_kernel_rect(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                        dq_ref, d_scr, dq_acc, *, scale, block_q, block_k,
+                        causal, diag_off):
+    qi, kj = pl.program_id(1), pl.program_id(2)
+    _bwd_dq_step(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref,
+                 d_scr, dq_acc, qi=qi, kj=kj, first=kj == 0,
+                 last=kj == pl.num_programs(2) - 1,
+                 masked_fn=_masked_dispatch(causal, qi, kj, block_q,
+                                            block_k, diag_off),
+                 scale=scale, block_q=block_q, block_k=block_k,
+                 diag_off=diag_off)
+
+
+def _bwd_dq_kernel_walk(qi_ref, kj_ref, first_ref, last_ref,
+                        q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                        dq_ref, d_scr, dq_acc, *, scale, block_q, block_k,
+                        diag_off):
+    t = pl.program_id(1)
+    qi, kj = qi_ref[t], kj_ref[t]
+    _bwd_dq_step(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref,
+                 d_scr, dq_acc, qi=qi, kj=kj, first=first_ref[t] == 1,
+                 last=last_ref[t] == 1,
+                 masked_fn=_masked_dispatch(True, qi, kj, block_q,
+                                            block_k, diag_off),
+                 scale=scale, block_q=block_q, block_k=block_k,
+                 diag_off=diag_off)
+
+
+def _bwd_dkv_kernel_rect(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                         dk_ref, dv_ref, dk_acc, dv_acc, *, scale, block_q,
+                         block_k, causal, diag_off):
+    kj, qi = pl.program_id(1), pl.program_id(2)
+    _bwd_dkv_step(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                  dk_ref, dv_ref, dk_acc, dv_acc, qi=qi, kj=kj,
+                  first=qi == 0, last=qi == pl.num_programs(2) - 1,
+                  masked_fn=_masked_dispatch(causal, qi, kj, block_q,
+                                             block_k, diag_off),
+                  scale=scale, block_q=block_q, block_k=block_k,
+                  diag_off=diag_off)
+
+
+def _bwd_dkv_kernel_walk(qi_ref, kj_ref, first_ref, last_ref,
+                         q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                         dk_ref, dv_ref, dk_acc, dv_acc, *, scale, block_q,
+                         block_k, diag_off):
+    t = pl.program_id(1)
+    qi, kj = qi_ref[t], kj_ref[t]
+    _bwd_dkv_step(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                  dk_ref, dv_ref, dk_acc, dv_acc, qi=qi, kj=kj,
+                  first=first_ref[t] == 1, last=last_ref[t] == 1,
+                  masked_fn=_masked_dispatch(True, qi, kj, block_q,
+                                             block_k, diag_off),
+                  scale=scale, block_q=block_q, block_k=block_k,
+                  diag_off=diag_off)
+
+
+def _walk_tables(tiles, outer_idx):
+    """(qi, kj, first, last) scalar-prefetch tables for a tile walk grouped
+    by ``outer_idx`` (0 = rows/dq, 1 = columns/dkv)."""
+    import numpy as np
+
+    qi = jnp.asarray(np.array([t[0] for t in tiles], np.int32))
+    kj = jnp.asarray(np.array([t[1] for t in tiles], np.int32))
+    first = np.zeros(len(tiles), np.int32)
+    last = np.zeros(len(tiles), np.int32)
+    for i, t in enumerate(tiles):
+        if i == 0 or tiles[i - 1][outer_idx] != t[outer_idx]:
+            first[i] = 1
+        if i == len(tiles) - 1 or tiles[i + 1][outer_idx] != t[outer_idx]:
+            last[i] = 1
+    return qi, kj, jnp.asarray(first), jnp.asarray(last)
+
+
+def flash_attention_bwd(q, k, v, o, lse, do, *, causal: bool = False,
+                        scale: float | None = None, block_q: int = 1024,
+                        block_k: int = 1024, interpret: bool | None = None):
+    """Flash attention backward: (dq, dk, dv) from the saved (o, lse).
+
+    ``lse`` is the forward residual in kernel layout (B*H, S_q, 128).
+    Two pallas_calls (dq, then dk/dv) — each recomputes P tile-by-tile, so
+    bwd HBM traffic stays O(S*D) like the forward."""
+    b, h, sq, d = q.shape
+    _, _, sk, _ = k.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    diag_off = sk - sq
+
+    q3 = q.reshape(b * h, sq, d)
+    k3 = k.reshape(b * h, sk, d)
+    v3 = v.reshape(b * h, sk, d)
+    o3 = o.reshape(b * h, sq, d)
+    do3 = do.reshape(b * h, sq, d)
+
+    n_q, n_kv = sq // block_q, sk // block_k
+    tiles = [
+        (i, j) for i in range(n_q) for j in range(n_kv)
+        if j * block_k <= i * block_q + block_q - 1 + diag_off
+    ] if causal else []
+    compact = causal and len(tiles) < n_q * n_kv
+
+    common = dict(
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        interpret=interpret,
+    )
+    fl = attention_flops(b, h, sq, sk, d, causal)
+    cost_dq = pl.CostEstimate(flops=3 * fl // 2, bytes_accessed=attention_bytes(
+        b, h, sq, sk, d, q.dtype.itemsize), transcendentals=b * h * sq * sk)
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0))
+    kv_spec = pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0))
+    lse_spec = pl.BlockSpec((1, block_q, 128), lambda bh, i, j: (bh, i, 0))
+
+    if compact:
+        qi_a, kj_a, first_a, last_a = _walk_tables(tiles, 0)
+        wq = pl.BlockSpec((1, block_q, d),
+                          lambda bh, t, qi, kj, fi, la: (bh, qi[t], 0))
+        wkv = pl.BlockSpec((1, block_k, d),
+                           lambda bh, t, qi, kj, fi, la: (bh, kj[t], 0))
+        wlse = pl.BlockSpec((1, block_q, 128),
+                            lambda bh, t, qi, kj, fi, la: (bh, qi[t], 0))
+        dq = pl.pallas_call(
+            functools.partial(
+                _bwd_dq_kernel_walk, scale=float(scale), block_q=block_q,
+                block_k=block_k, diag_off=diag_off),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(b * h, len(tiles)),
+                in_specs=[wq, wkv, wkv, wq, wq, wlse],
+                out_specs=wq,
+                scratch_shapes=[
+                    pltpu.VMEM((block_q, 128), jnp.float32),
+                    pltpu.VMEM((block_q, d), jnp.float32),
+                ]),
+            out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            cost_estimate=cost_dq, **common,
+        )(qi_a, kj_a, first_a, last_a, q3, k3, v3, do3, o3, lse)
+
+        col_tiles = sorted(tiles, key=lambda t: (t[1], t[0]))
+        qi_b, kj_b, first_b, last_b = _walk_tables(col_tiles, 1)
+        dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_dkv_kernel_walk, scale=float(scale), block_q=block_q,
+                block_k=block_k, diag_off=diag_off),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(b * h, len(tiles)),
+                in_specs=[wq, wkv, wkv, wq, wq, wlse],
+                out_specs=[wkv, wkv],
+                scratch_shapes=[
+                    pltpu.VMEM((block_k, d), jnp.float32),
+                    pltpu.VMEM((block_k, d), jnp.float32),
+                ]),
+            out_shape=[jax.ShapeDtypeStruct((b * h, sk, d), k.dtype),
+                       jax.ShapeDtypeStruct((b * h, sk, d), v.dtype)],
+            cost_estimate=cost_dq, **common,
+        )(qi_b, kj_b, first_b, last_b, q3, k3, v3, do3, o3, lse)
+    else:
+        dq = pl.pallas_call(
+            functools.partial(
+                _bwd_dq_kernel_rect, scale=float(scale), block_q=block_q,
+                block_k=block_k, causal=causal, diag_off=diag_off),
+            grid=(b * h, n_q, n_kv),
+            in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec, lse_spec],
+            out_specs=q_spec,
+            out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+            cost_estimate=cost_dq,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 2**20),
+            interpret=interpret,
+        )(q3, k3, v3, do3, o3, lse)
+
+        # dkv grid: (bh, kv, q) — q innermost so dk/dv scratch persists
+        qT_spec = pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0))
+        kvT_spec = pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0))
+        lseT_spec = pl.BlockSpec((1, block_q, 128),
+                                 lambda bh, j, i: (bh, i, 0))
+        dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_dkv_kernel_rect, scale=float(scale), block_q=block_q,
+                block_k=block_k, causal=causal, diag_off=diag_off),
+            grid=(b * h, n_kv, n_q),
+            in_specs=[qT_spec, kvT_spec, kvT_spec, qT_spec, qT_spec,
+                      lseT_spec],
+            out_specs=[kvT_spec, kvT_spec],
+            out_shape=[jax.ShapeDtypeStruct((b * h, sk, d), k.dtype),
+                       jax.ShapeDtypeStruct((b * h, sk, d), v.dtype)],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, d), jnp.float32),
+            ],
+            cost_estimate=cost_dq,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 2**20),
+            interpret=interpret,
+        )(q3, k3, v3, do3, o3, lse)
+
+    shape4 = (b, h, sq, d)
+    return (dq.reshape(shape4), dk.reshape(b, h, sk, d),
+            dv.reshape(b, h, sk, d))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_mha(q, k, v, causal: bool = False, scale: float | None = None):
-    """Training-path attention: flash-kernel forward, XLA-recompute
-    backward.
+    """Training-path attention: flash kernels in BOTH directions.
 
-    The forward runs :func:`flash_attention` (O(S*D) HBM traffic); the
-    backward re-derives grads through the reference XLA attention — exact
-    softmax gradients at O(S^2) bwd memory, the standard
-    remat-the-cheap-direction tradeoff while the kernel has no bwd pass.
-    Drop-in for ``mha_reference`` under ``jax.grad`` (parity pinned in
-    tests/test_attention.py)."""
+    Forward saves only (o, lse) — O(S*D) residuals; backward recomputes
+    the probability tiles in VMEM (flash_attention_bwd), so the (S, S)
+    matrices never reach HBM in either direction.  Drop-in for
+    ``mha_reference`` under ``jax.grad`` (parity pinned in
+    tests/test_attention.py).  Shapes the kernels can't tile (S not a
+    multiple of the block, S_q > S_k causal) fall back to XLA recompute."""
     return flash_attention(q, k, v, causal=causal, scale=scale)
 
 
+def _flash_mha_supported(q, k, causal):
+    sq, sk = q.shape[2], k.shape[2]
+    bq, bk = min(1024, sq), min(1024, sk)
+    return sq % bq == 0 and sk % bk == 0 and not (causal and sq > sk)
+
+
 def _flash_mha_fwd(q, k, v, causal, scale):
-    return flash_attention(q, k, v, causal=causal, scale=scale), (q, k, v)
+    if not _flash_mha_supported(q, k, causal):
+        return (flash_attention(q, k, v, causal=causal, scale=scale),
+                (q, k, v, None, None))
+    o, lse = _flash_forward(q, k, v, causal=causal, scale=scale,
+                            block_q=1024, block_k=1024, interpret=None,
+                            return_lse=True)
+    return o, (q, k, v, o, lse)
 
 
 def _flash_mha_bwd(causal, scale, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: mha_reference(q, k, v, causal=causal, scale=scale),
-        q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    if o is None:
+        _, vjp = jax.vjp(
+            lambda q, k, v: mha_reference(q, k, v, causal=causal,
+                                          scale=scale), q, k, v)
+        return vjp(g)
+    return flash_attention_bwd(q, k, v, o, lse, g, causal=causal,
+                               scale=scale)
 
 
 flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)

@@ -349,6 +349,7 @@ def bench_attention(
     reps: int = 2,
     block_q: int = 1024,
     block_k: int = 1024,
+    grad: bool = False,
 ) -> List[ComputeResult]:
     """Fused-attention rows (beyond-reference tier; see ops/attention.py).
 
@@ -357,9 +358,14 @@ def bench_attention(
     -softmax kernel), 'jax-flash' (jax's bundled pallas kernel, A/B
     baseline), 'dpa' (jax.nn.dot_product_attention) — as a scalar-fetch
     chain with per-step Q perturbation.  TF/s uses the causal-aware flop
-    count, roofline vs the chip MXU peak."""
+    count, roofline vs the chip MXU peak.
+
+    With ``grad`` the chain times forward+backward through ``jax.grad``
+    ('flash' routes through flash_mha: Pallas kernels both directions);
+    flops use the standard 3.5x attention fwd+bwd count (2 fwd + 5 bwd
+    matmuls)."""
     from param_tpu.ops.attention import (
-        attention_flops, flash_attention, make_attention)
+        attention_flops, flash_attention, flash_mha, make_attention)
 
     dt = dtype_from_name(dtype)
     chip = detect_chip()
@@ -377,7 +383,9 @@ def bench_attention(
 
         q, k, v = _mk(0), _mk(1), _mk(2)
         for path in paths:
-            if path == "flash":
+            if grad and path == "flash":
+                op = functools.partial(flash_mha, causal=causal)
+            elif path == "flash":
                 op = functools.partial(
                     flash_attention, causal=causal,
                     block_q=block_q, block_k=block_k)
@@ -387,10 +395,18 @@ def bench_attention(
             @functools.partial(jax.jit, static_argnames="nn")
             def chain(q, k, v, nn, op=op):
                 def step(st, i):
-                    out = op(
-                        q + i.astype(q.dtype) * jnp.asarray(1e-6, q.dtype),
-                        k, v)
-                    return st + jnp.sum(out.astype(jnp.float32)), None
+                    qi = q + i.astype(q.dtype) * jnp.asarray(1e-6, q.dtype)
+                    if grad:
+                        gq, gk, gv = jax.grad(
+                            lambda q, k, v: jnp.sum(
+                                op(q, k, v).astype(jnp.float32)),
+                            argnums=(0, 1, 2))(qi, k, v)
+                        upd = (jnp.sum(gq.astype(jnp.float32)) +
+                               jnp.sum(gk.astype(jnp.float32)) +
+                               jnp.sum(gv.astype(jnp.float32)))
+                    else:
+                        upd = jnp.sum(op(qi, k, v).astype(jnp.float32))
+                    return st + upd, None
 
                 st, _ = lax.scan(step, jnp.float32(0), jnp.arange(nn))
                 return st
@@ -402,9 +418,13 @@ def bench_attention(
                 log.exception("attention %s path=%s failed",
                               (b, h, s, d), path)
                 continue
-            tf = attention_flops(b, h, s, s, d, causal) / per / 1e12
+            fl = attention_flops(b, h, s, s, d, causal)
+            if grad:
+                fl = fl * 7 // 2  # fwd 2 matmuls + bwd 5
+            tf = fl / per / 1e12
             results.append(_report(ComputeResult(
-                op=f"att:{path}", shape=(b, h, s, d), lat_us=per * 1e6,
+                op=f"att{'-grad' if grad else ''}:{path}",
+                shape=(b, h, s, d), lat_us=per * 1e6,
                 tflops=tf, roofline_frac=tf / peak if peak else 0.0,
             ), dtype))
     return results

@@ -74,6 +74,8 @@ python -m param_tpu.cli.pt_et \
 echo "== fused attention bench"
 python -m param_tpu.cli.compute attention --shape 1,2,256,128 \
   --dtype float32 --paths xla,flash --chain 3 --reps 1
+python -m param_tpu.cli.compute attention --shape 1,2,256,128 \
+  --dtype float32 --paths flash --grad --chain 2 --reps 1
 
 echo "== compute tier"
 python -m param_tpu.cli.compute gemm --shape 64,64,64 --chain 3 --reps 1

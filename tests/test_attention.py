@@ -107,6 +107,50 @@ def test_flash_mha_grads_match_reference():
                                    atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.parametrize("causal,sq,sk,bq", [
+    (True, 256, 256, 128),    # compacted lower-triangle walk
+    (False, 256, 256, 128),   # rectangular dq/dkv grids
+    (True, 128, 256, 128),    # decode layout (diag bottom-right)
+    (True, 256, 256, 256),    # single-tile causal -> rect masked path
+])
+def test_flash_bwd_kernels_match_vjp(causal, sq, sk, bq):
+    """flash_attention_bwd (Pallas dq + dkv kernels, P recomputed from the
+    saved lse) == jax.vjp through the XLA oracle."""
+    from param_tpu.ops.attention import _flash_forward, flash_attention_bwd
+
+    b, h, d = 1, 2, 128
+    q = _rand((b, h, sq, d), jnp.float32, 20)
+    k = _rand((b, h, sk, d), jnp.float32, 21)
+    v = _rand((b, h, sk, d), jnp.float32, 22)
+    g = _rand((b, h, sq, d), jnp.float32, 23)
+    o, lse = _flash_forward(q, k, v, causal=causal, scale=None, block_q=bq,
+                            block_k=bq, interpret=True, return_lse=True)
+    ref_o, vjp = jax.vjp(
+        lambda q, k, v: mha_reference(q, k, v, causal=causal), q, k, v)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref_o),
+                               atol=2e-5, rtol=2e-5)
+    got = flash_attention_bwd(q, k, v, o, lse, g, causal=causal,
+                              block_q=bq, block_k=bq, interpret=True)
+    for name, a, b_ in zip(("dq", "dk", "dv"), got, vjp(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-5, rtol=2e-5, err_msg=name)
+
+
+def test_flash_mha_bwd_uses_kernels():
+    """The custom_vjp backward routes through the Pallas kernels (not the
+    XLA-recompute fallback) for tileable shapes."""
+    from unittest import mock
+
+    from param_tpu.ops import attention as att
+
+    b, h, s, d = 1, 1, 256, 128
+    q, k, v = (_rand((b, h, s, d), jnp.float32, i) for i in (30, 31, 32))
+    with mock.patch.object(att, "flash_attention_bwd",
+                           wraps=att.flash_attention_bwd) as spy:
+        jax.grad(lambda q: jnp.sum(att.flash_mha(q, k, v, True)))(q)
+        assert spy.called
+
+
 def test_flash_sharded_over_heads():
     """Head-parallel flash attention under shard_map on the 8-device mesh
     (tensor-parallel attention: B*H is embarrassingly parallel)."""
