@@ -106,6 +106,11 @@ def main(argv=None) -> int:
         shapes = sorted({w.shape for w in ws})
         print(f"fused {len(ws)} attention windows ({n_ops} ops) "
               f"shapes={shapes}")
+        bws = replayer.fused_bwd_windows
+        if bws:
+            n_bops = sum(len(w.skip_ids) for w in bws)
+            print(f"fused {len(bws)} attention BACKWARD windows "
+                  f"({n_bops} ops) shapes={sorted({w.shape for w in bws})}")
 
     if ns.codegen:
         src = replayer.codegen(ns.trace)

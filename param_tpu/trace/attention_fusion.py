@@ -230,3 +230,263 @@ def find_attention_windows(nodes: List[PtNode]) -> List[AttnWindow]:
             causal=causal, shape=(b, h, sq, d)))
         claimed.update(skip)
     return windows
+
+
+# --------------------------------------------------------------------------
+# Backward windows
+# --------------------------------------------------------------------------
+# A recorded training iteration carries the attention BACKWARD unfused too
+# (autograd's decomposition, verified against a torch
+# ExecutionTraceObserver fwd+bwd trace of the eager GPT2 attention):
+#
+#     bmm(probs^T, dO)            -> dV            (B*H, S, D)
+#     bmm(dO, v^T)                -> dP            (B*H, S, S)
+#     aten::_softmax_backward_data(dP, probs)      (B, H, S, S)
+#     aten::where x2 / aten::to   mask backward    (causal)
+#     aten::div                   scale backward
+#     bmm(q^T, dS)                -> dK^T          (B*H, D, S)
+#     bmm(dS, k)                  -> dQ            (B*H, S, D)
+#
+# i.e. four S^2 matmuls plus three S^2 elementwise ops per head — the
+# traffic flash_attention_bwd (ops/attention.py) removes.  The matcher
+# anchors at _softmax_backward_data and walks the same dataflow.
+
+# value-forwarding ops in backward walks (reshape/view change shape but
+# forward the tensor; resolve_conj is identity on real dtypes; dropout
+# backward forwards grad x mask — an S^2 elementwise op the fused kernel
+# absorbs, like dropout itself in the forward window)
+_BPASS = _PASS | {"aten::view", "aten::reshape", "aten::_reshape_alias",
+                  "aten::resolve_conj", "aten::native_dropout_backward",
+                  "aten::dropout_backward"}
+# elementwise S^2 ops consumed into the fused backward
+_BCHAIN = _BPASS | {"aten::where", "aten::div", "aten::mul"}
+
+
+@dataclass
+class AttnBwdWindow:
+    """One fusable attention-backward subgraph: replay skips ``skip_ids``
+    and emits flash_attention_bwd(q, k, v, o, lse, dO) at the anchor (the
+    last of the dQ/dK^T matmuls in stream order).  ``outs`` maps each
+    replaced matmul's output to the fused result that stands in for it:
+    (node_id, out_desc, out_shape, kind) with kind in dq|dkT|dv."""
+
+    anchor_id: int
+    skip_ids: set
+    q: Tuple[Any, Tuple[int, ...], str, bool]  # (desc, shape, tok, needs_T)
+    k: Tuple[Any, Tuple[int, ...], str, bool]
+    v: Tuple[Any, Tuple[int, ...], str, bool]
+    do: Tuple[Any, Tuple[int, ...], str, bool]
+    outs: List[Tuple[int, Any, Tuple[int, ...], str]]
+    scale: float
+    causal: bool
+    shape: Tuple[int, int, int, int, int] = field(default=())  # B,H,Sq,Sk,D
+    index: int = 0  # window ordinal (keys the synthesized o/lse inputs)
+
+
+def find_attention_bwd_windows(nodes: List[PtNode]) -> List[AttnBwdWindow]:
+    """Match fusable attention-backward windows (see block comment)."""
+    prod: Dict[Tuple[int, int], List[PtNode]] = {}
+    cons: Dict[Tuple[int, int], List[PtNode]] = {}
+    for n in nodes:
+        for i, tok in enumerate(n.output_types):
+            if _is_tensor_slot(tok) and i < len(n.outputs):
+                key = _tensor_key(n.outputs[i])
+                if key is not None:
+                    prod.setdefault(key, []).append(n)
+        for _, desc, tok, _s in _tensor_slots(n):
+            key = _tensor_key(desc)
+            if key is not None:
+                cons.setdefault(key, []).append(n)
+
+    def producer_before(key, nid: int) -> Optional[PtNode]:
+        best = None
+        for cand in prod.get(key, ()):
+            if cand.id < nid and (best is None or cand.id > best.id):
+                best = cand
+        return best
+
+    def back(desc, from_node: PtNode, skip: set) -> Optional[PtNode]:
+        p = producer_before(_tensor_key(desc), from_node.id)
+        while p is not None and p.name in _BPASS:
+            skip.add(p.id)
+            slots = _tensor_slots(p)
+            if not slots:
+                return None
+            p = producer_before(_tensor_key(slots[0][1]), p.id)
+        return p
+
+    def operand(mm: PtNode, slot_i: int, skip: set):
+        """Resolve matmul operand ``slot_i`` to (desc, shape, tok, needs_T):
+        if its producer is a last-two-swap transpose, return the
+        pre-transpose tensor with needs_T set (and skip the transpose)."""
+        slots = _tensor_slots(mm)
+        i, desc, tok, shape = slots[slot_i]
+        p = producer_before(_tensor_key(desc), mm.id)
+        seen_pass = []
+        while p is not None and p.name in _BPASS:
+            seen_pass.append(p.id)
+            ps = _tensor_slots(p)
+            if not ps:
+                p = None
+                break
+            desc2 = ps[0][1]
+            p = producer_before(_tensor_key(desc2), p.id)
+        if p is not None and p.name in ("aten::transpose", "aten::permute") \
+                and _swaps_last_two(p):
+            skip.update(seen_pass)
+            skip.add(p.id)
+            ts = _tensor_slots(p)
+            return (ts[0][1], ts[0][3], ts[0][2], True)
+        return (desc, shape, tok, False)
+
+    def out_key(n: PtNode):
+        for i, tok in enumerate(n.output_types):
+            if _is_tensor_slot(tok) and i < len(n.outputs):
+                return _tensor_key(n.outputs[i])
+        return None
+
+    def first_out(n: PtNode):
+        for i, tok in enumerate(n.output_types):
+            if _is_tensor_slot(tok) and i < len(n.outputs):
+                return (n.outputs[i],
+                        tuple(int(d) for d in (n.output_shapes[i] or [])))
+        return None
+
+    windows: List[AttnBwdWindow] = []
+    claimed: set = set()
+    for a in nodes:
+        if a.name != "aten::_softmax_backward_data":
+            continue
+        if a.id in claimed:
+            continue
+        skip = {a.id}
+        slots = _tensor_slots(a)
+        if len(slots) < 2:
+            continue
+        dp_shape = slots[0][3]
+        if len(dp_shape) == 4:
+            b, h, sq, sk = dp_shape
+        elif len(dp_shape) == 3:
+            b, (h, sq, sk) = 1, dp_shape
+        else:
+            continue
+
+        # ---- producers: dP = bmm(dO, v^T); sibling dV = bmm(probs^T, dO)
+        m_dp = back(slots[0][1], a, skip)
+        if m_dp is None or m_dp.name not in _MATMUL:
+            continue
+        dp_slots = _tensor_slots(m_dp)
+        if len(dp_slots) < 2:
+            continue
+        do_slot = (dp_slots[0][1], dp_slots[0][3], dp_slots[0][2], False)
+        v_slot = operand(m_dp, 1, skip)
+        if not v_slot[3]:
+            continue  # dP needs a transposed V
+        # operand() recovered the PRE-transpose tensor, already (Sk, D)
+        v_slot = v_slot[:3] + (False,)
+        skip.add(m_dp.id)
+        d = do_slot[1][-1]
+
+        m_dv = None
+        for u in cons.get(_tensor_key(do_slot[0]), ()):
+            if u.name in _MATMUL and u.id != m_dp.id \
+                    and abs(u.id - m_dp.id) < 40:
+                m_dv = u
+                break
+        if m_dv is None:
+            continue
+        # its other operand must be a transposed probs
+        dv_slot_i = 0 if _tensor_key(_tensor_slots(m_dv)[1][1]) == \
+            _tensor_key(do_slot[0]) else 1
+        pt = operand(m_dv, dv_slot_i, skip)
+        if not pt[3]:
+            continue
+        skip.add(m_dv.id)
+        dv_out = first_out(m_dv)
+
+        # ---- consumers: [where/to]* -> div -> dQ/dK^T matmuls.  The walk
+        # follows the NEAREST consumer in stream order (storage keys get
+        # reused across the graph, so a pure key-set walk can jump over the
+        # div straight into a later reuser of the same storage).
+        cur = a
+        key = out_key(a)
+        causal = False
+        scale = None
+        mms: List[PtNode] = []
+        for _hop in range(10):
+            users = [u for u in cons.get(key, ())
+                     if u.id > cur.id and u.id not in skip]
+            if not users:
+                break
+            nxt = min(users, key=lambda u: u.id)
+            if nxt.name in _MATMUL:
+                # both grad matmuls consume dS back-to-back; the id window
+                # guards against later reusers of a recycled storage key
+                mms = [u for u in users if u.name in _MATMUL
+                       and u.id - nxt.id < 40]
+                break
+            if nxt.name not in _BCHAIN:
+                break
+            skip.add(nxt.id)
+            if nxt.name == "aten::where":
+                causal = True
+            if nxt.name in ("aten::div", "aten::mul"):
+                us = _tensor_slots(nxt)
+                val = None
+                if len(us) >= 2:
+                    sp = producer_before(_tensor_key(us[1][1]), nxt.id)
+                    if sp is not None and sp.name == "aten::full" \
+                            and len(sp.inputs) > 1 \
+                            and isinstance(sp.inputs[1], (int, float)):
+                        val = float(sp.inputs[1])
+                elif len(nxt.inputs) > 1 and isinstance(
+                        nxt.inputs[1], (int, float)):
+                    val = float(nxt.inputs[1])
+                if val:
+                    scale = (1.0 / val) if nxt.name == "aten::div" else val
+            ok = out_key(nxt)
+            if ok is None:
+                break
+            cur, key = nxt, ok
+        if len(mms) != 2:
+            continue
+
+        q_slot = k_slot = None
+        dq_out = dkt_out = None
+        ds_key = key
+        good = True
+        for mm in mms:
+            ms = _tensor_slots(mm)
+            if len(ms) < 2:
+                good = False
+                break
+            if _tensor_key(ms[0][1]) == ds_key:      # dQ = dS @ K
+                k_slot = operand(mm, 1, skip)
+                # a transposed K operand means the SAVED tensor is K^T
+                # (the model cached k pre-transposed) — swap at emission
+                dq_out = (mm.id,) + first_out(mm) + ("dq",)
+            elif _tensor_key(ms[1][1]) == ds_key:    # dK^T = Q^T @ dS
+                q_slot = operand(mm, 0, skip)
+                if not q_slot[3]:
+                    good = False
+                    break
+                # pre-transpose tensor is Q itself, already (Sq, D)
+                q_slot = q_slot[:3] + (False,)
+                dkt_out = (mm.id,) + first_out(mm) + ("dkT",)
+            skip.add(mm.id)
+        if not good or q_slot is None or k_slot is None:
+            continue
+        if causal and sq > sk:
+            continue
+
+        windows.append(AttnBwdWindow(
+            anchor_id=max(m.id for m in mms), skip_ids=skip,
+            q=q_slot, k=k_slot, v=v_slot, do=do_slot,
+            outs=[o for o in [
+                (m_dv.id,) + dv_out + ("dv",), dq_out, dkt_out]
+                if o is not None],
+            scale=scale if scale is not None else 1.0,
+            causal=causal, shape=(b, h, sq, sk, d),
+            index=len(windows)))
+        claimed.update(skip)
+    return windows

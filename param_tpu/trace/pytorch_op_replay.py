@@ -1269,12 +1269,20 @@ class PyTorchOpReplay:
         self._fused_emit: Dict[int, Any] = {}
         if fuse == "attention":
             from param_tpu.trace.attention_fusion import (
-                find_attention_windows)
+                find_attention_bwd_windows, find_attention_windows)
 
             self.fused_windows = find_attention_windows(self.nodes)
-            for w in self.fused_windows:
+            # backward windows of a recorded training iteration replay as
+            # flash_attention_bwd calls (the o/lse residuals the recorded
+            # graph never saved are synthesized as external inputs)
+            self.fused_bwd_windows = find_attention_bwd_windows(self.nodes)
+            for w in (*self.fused_windows, *self.fused_bwd_windows):
+                if w.skip_ids & self._fused_skip:
+                    continue  # overlapping match — keep the earlier window
                 self._fused_skip |= w.skip_ids
                 self._fused_emit[w.anchor_id] = w
+        else:
+            self.fused_bwd_windows = []
         self._comms = None
         if mode == "full":
             from param_tpu.trace.replay import CommsReplay, ReplayParams
@@ -1474,10 +1482,22 @@ class PyTorchOpReplay:
     def _fused_attention_outs(self, w, abstract: bool = False):
         """Emit one flash-attention call for a matched window (--fuse
         attention): q/k/v resolve from the registry exactly like any node
-        input, so they chain off the upstream projection ops."""
+        input, so they chain off the upstream projection ops.
+
+        Backward windows (AttnBwdWindow) emit flash_attention_bwd instead:
+        q/k/v/dO resolve from the trace; the o/lse residuals the recorded
+        eager graph never materialized are synthesized as external inputs
+        (cost-honest: the fused training path would stream them from HBM
+        exactly like this).  The dV and dK^T matmul outputs the window
+        replaces are registered directly so downstream reshapes chain."""
         import jax
+        import jax.numpy as jnp
 
         from param_tpu.ops.attention import flash_attention
+        from param_tpu.trace.attention_fusion import AttnBwdWindow
+
+        if isinstance(w, AttnBwdWindow):
+            return self._fused_attention_bwd_outs(w, abstract)
 
         q = self._resolve_tensor(w.q[0], w.q[1], w.q[2])
         k = self._resolve_tensor(w.k[0], w.k[1], w.k[2])
@@ -1488,6 +1508,76 @@ class PyTorchOpReplay:
                            for t in (q, k, v)):
             return [jax.eval_shape(fn, q, k, v)]
         return [fn(q, k, v)]
+
+    def _fused_attention_bwd_outs(self, w, abstract: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        from param_tpu.ops.attention import flash_attention_bwd
+
+        b, h, sq, sk, d = w.shape
+
+        def get(slot, want4):
+            t = self._resolve_tensor(slot[0], slot[1], slot[2])
+            if slot[3]:  # saved tensor is transposed (e.g. cached K^T)
+                if isinstance(t, jax.ShapeDtypeStruct):
+                    t = jax.ShapeDtypeStruct(
+                        t.shape[:-2] + (t.shape[-1], t.shape[-2]), t.dtype)
+                else:
+                    t = jnp.swapaxes(t, -1, -2)
+            if isinstance(t, jax.ShapeDtypeStruct):
+                return jax.ShapeDtypeStruct(want4, t.dtype)
+            return jnp.reshape(t, want4)
+
+        q = get(w.q, (b, h, sq, d))
+        k = get(w.k, (b, h, sk, d))
+        v = get(w.v, (b, h, sk, d))
+        do = get(w.do, (b, h, sq, d))
+        # synthesized residuals: unique high ids keep them out of the
+        # trace's key space; they materialize once and ride the chain's
+        # external-input list like any other tensor
+        base = 1_000_000_000 + 2 * w.index
+        o = self._resolve_tensor(
+            [base, base, 0, b * h * sq * d, 4, "synthetic"],
+            (b, h, sq, d), w.do[2])
+        lse = self._resolve_tensor(
+            [base + 1, base + 1, 0, b * h * sq * 128, 4, "synthetic"],
+            (b * h, sq, 128), "Tensor(float)")
+        if not isinstance(lse, jax.ShapeDtypeStruct):
+            # replayed values are random, so exp(s - lse) in the kernel
+            # would overflow for large recorded activations; a large lse
+            # offset underflows P to exact zeros — identical cost (the
+            # exp/matmul work is value-independent), finite dataflow
+            lse = lse + jnp.asarray(1e6, lse.dtype)
+
+        fn = functools.partial(
+            flash_attention_bwd, causal=w.causal, scale=w.scale)
+        args = (q, k, v, o, lse, do)
+        if abstract or any(isinstance(t, jax.ShapeDtypeStruct)
+                           for t in args):
+            dq, dk, dv = jax.eval_shape(fn, *args)
+            abstract = True
+        else:
+            dq, dk, dv = fn(*args)
+
+        # register every replaced matmul's recorded output; the anchor's
+        # own slot is returned for run_node's _register_outputs
+        anchor_val = None
+        for node_id, desc, shape, kind in w.outs:
+            src = {"dq": dq, "dkT": dk, "dv": dv}[kind]
+            if abstract:
+                val = jax.ShapeDtypeStruct(tuple(shape), src.dtype)
+            else:
+                t = jnp.reshape(src, (b * h, -1, d))
+                if kind == "dkT":
+                    t = jnp.swapaxes(t, -1, -2)
+                val = jnp.reshape(t, tuple(shape))
+            key = _tensor_key(desc)
+            if key is not None:
+                self.registry[key] = val
+            if node_id == w.anchor_id:
+                anchor_val = val
+        return [anchor_val]
 
     def run_node(self, node: PtNode, timed: bool = True,
                  abstract: bool = False) -> Optional[float]:
@@ -1521,8 +1611,11 @@ class PyTorchOpReplay:
                 else:
                     dt = 0.0
                 self._register_outputs(node, list(outs))
-                st = self.stats.setdefault("fused::flash_attention",
-                                           OpStat())
+                from param_tpu.trace.attention_fusion import AttnBwdWindow
+                label = ("fused::flash_attention_bwd"
+                         if isinstance(w, AttnBwdWindow)
+                         else "fused::flash_attention")
+                st = self.stats.setdefault(label, OpStat())
                 st.count += 1
                 if timed:
                     st.lat_us.append(dt)

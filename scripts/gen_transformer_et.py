@@ -83,24 +83,37 @@ def main():
     ap.add_argument("--seq", type=int, default=2048)
     ap.add_argument("--head-dim", type=int, default=128)
     ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--train", action="store_true",
+                    help="record a TRAINING iteration (forward + "
+                         "loss.backward()), so the trace carries the "
+                         "unfused attention backward windows too")
     ap.add_argument("--out", default="tests/fixtures/transformer_long_et.json.gz")
     ns = ap.parse_args()
 
     torch.manual_seed(0)
     model = torch.nn.Sequential(*[
         Block(ns.heads, ns.head_dim, ns.seq) for _ in range(ns.layers)
-    ]).eval()
+    ])
+    if not ns.train:
+        model = model.eval()
     x = torch.randn(ns.batch, ns.seq, ns.heads * ns.head_dim)
+
+    def run():
+        if ns.train:
+            model(x).sum().backward()
+            model.zero_grad(set_to_none=True)
+        else:
+            with torch.no_grad():
+                model(x)
 
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
         tmp = f.name
     obs = ExecutionTraceObserver()
     obs.register_callback(tmp)
-    with torch.no_grad():
-        model(x)  # warm up outside the observed window
-        obs.start()
-        model(x)
-        obs.stop()
+    run()  # warm up outside the observed window
+    obs.start()
+    run()
+    obs.stop()
     obs.unregister_callback()
 
     with open(tmp) as f:

@@ -119,3 +119,68 @@ def test_long_fixture_detection():
         assert w.shape == (1, 32, 2048, 128)
         assert w.causal
         assert w.scale == pytest.approx(1 / 128 ** 0.5)
+
+
+def test_train_fixture_bwd_detection():
+    """The fwd+bwd training fixture (gen_transformer_et.py --train) yields
+    matching forward AND backward windows per block."""
+    import gzip
+
+    from param_tpu.trace.attention_fusion import (
+        find_attention_bwd_windows, find_attention_windows)
+    from param_tpu.trace.pytorch_op_replay import PyTorchOpReplay
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "transformer_train_et.json.gz")
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    r = PyTorchOpReplay(data)
+    fws = find_attention_windows(r.nodes)
+    bws = find_attention_bwd_windows(r.nodes)
+    assert len(fws) == 2 and len(bws) == 2
+    for w in bws:
+        assert w.shape == (1, 2, 256, 256, 128)
+        assert w.causal
+        assert w.scale == pytest.approx(1 / np.sqrt(128))
+        assert not w.q[3] and w.k[3] and not w.v[3]  # cached K^T
+        assert {o[3] for o in w.outs} == {"dq", "dkT", "dv"}
+    # fwd and bwd windows never claim the same node
+    ids = [i for w in (*fws, *bws) for i in w.skip_ids]
+    assert len(ids) == len(set(ids))
+
+
+def test_train_fixture_fused_replay_and_chain():
+    """Discrete + chain replay of the training fixture with --fuse: both
+    directions replay as fused kernels, nothing degrades to skip."""
+    import gzip
+
+    from param_tpu.trace.pytorch_op_replay import PyTorchOpReplay
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "transformer_train_et.json.gz")
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    r = PyTorchOpReplay(data, fuse="attention")
+    rep = r.replay(iters=1, timed=False)
+    assert not rep["skipped"]
+    assert rep["per_op"]["fused::flash_attention"]["count"] == 2
+    assert rep["per_op"]["fused::flash_attention_bwd"]["count"] == 2
+
+    r2 = PyTorchOpReplay(data, fuse="attention")
+    v = float(r2.build_chain()(1))
+    assert np.isfinite(v)
+
+
+def test_gpt2_bwd_window_detection(gpt2_data):
+    """All 36 layers' attention-BACKWARD windows in the reference GPT2
+    training trace match (dropout-backward absorbed like fwd dropout)."""
+    from param_tpu.trace.attention_fusion import find_attention_bwd_windows
+    from param_tpu.trace.pytorch_op_replay import PyTorchOpReplay
+
+    r = PyTorchOpReplay(gpt2_data)
+    ws = find_attention_bwd_windows(r.nodes)
+    assert len(ws) == 36
+    for w in ws:
+        assert w.shape == (1, 20, 512, 512, 64)
+        assert w.causal
+        assert w.scale == pytest.approx(0.125)
