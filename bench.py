@@ -9,11 +9,56 @@ Timing: scalar-fetch delta-N chains (param_tpu.comms.timing.measure_chain) —
 the only methodology whose numbers are trustworthy on remote-attached TPUs,
 where ``block_until_ready`` can return before execution.  Each chain step
 shifts the index matrix so no gather can be CSE'd away.
+
+Robustness (round-5 rework; 2 of 4 driver captures previously failed on
+tunnel weather):
+- the 512 MB table is generated ON DEVICE (``jax.random.uniform`` under
+  jit) — no host->device bulk upload over the tunnel;
+- chain lengths are FIXED (n=1 and n=64) instead of adaptively grown, so
+  exactly two gather programs compile (adaptive growth recompiled for every
+  doubled length — the bulk of the round-4 7.5 min wall);
+- the persistent compilation cache is enabled so warm re-runs skip the
+  20-60 s compiles entirely;
+- a hard SIGALRM deadline emits the honest error JSON (with the last
+  validated on-chip number) instead of hanging into the driver's timeout.
+Reference spirit: every PARAM bench prints incrementally and never hangs
+silent (comms.py:1057-1110).
 """
 
 import functools
 import json
+import os
+import signal
 import sys
+import time
+
+# Last number validated on the real chip (update when re-measured):
+LAST_GOOD = {"value": 41.33, "date": "2026-08-20", "note": "RESULTS.md"}
+METRIC = "emb_lookup_bw_1Mx128_b8192_nnz30"
+REFERENCE_BEST = 27.65  # GB/s, reference CPU EmbeddingBag (README.md:78)
+DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", "240"))
+
+_T0 = time.time()
+
+
+def _note(msg: str) -> None:
+    print(f"# [{time.time()-_T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _error_json(why: str) -> str:
+    return json.dumps({
+        "metric": METRIC, "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0,
+        "error": f"{why}; last on-chip validation: "
+                 f"{LAST_GOOD['value']} GB/s / "
+                 f"{round(LAST_GOOD['value']/REFERENCE_BEST, 3)}x "
+                 f"({LAST_GOOD['note']}, {LAST_GOOD['date']})",
+    })
+
+
+def _deadline_handler(signum, frame):  # noqa: ARG001
+    print(_error_json("deadline exceeded (slow or wedged tunnel window)"))
+    sys.stdout.flush()
+    os._exit(1)
 
 
 def _tpu_relay_reachable() -> bool:
@@ -21,7 +66,6 @@ def _tpu_relay_reachable() -> bool:
     a dead relay makes ``jax.devices()`` hang FOREVER (observed; see
     CLAUDE.md).  Probe the relay ports with a short timeout first so the
     driver gets an honest error line instead of a hung process."""
-    import os
     import socket
 
     env = os.environ.get("JAX_PLATFORMS", "")
@@ -41,14 +85,11 @@ def _tpu_relay_reachable() -> bool:
 
 def main() -> int:
     if not _tpu_relay_reachable():
-        print(json.dumps({
-            "metric": "emb_lookup_bw_1Mx128_b8192_nnz30", "value": 0.0,
-            "unit": "GB/s", "vs_baseline": 0.0,
-            "error": "axon relay unreachable (jax.devices() would hang); "
-                     "last on-chip validation: 40.84 GB/s / 1.477x "
-                     "(RESULTS.md, 2026-08-17)",
-        }))
+        print(_error_json("axon relay unreachable (jax.devices() would hang)"))
         return 1
+    signal.signal(signal.SIGALRM, _deadline_handler)
+    signal.alarm(DEADLINE_S)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -58,11 +99,46 @@ def main() -> int:
     from param_tpu.ops.embedding import embedding_bytes
 
     E, D, B, NNZ = 1_000_000, 128, 8192, 30
+    _note("connecting to device")
+    platform = jax.devices()[0].platform
+
+    # Liveness probe: a WEDGED-but-listening relay passes the port check and
+    # returns jax.devices(), yet hangs any real execution (observed
+    # 2026-08-20: float(sum(ones(8,8))) never returned while port 8103
+    # accepted connections).  Fail fast at ~75 s instead of burning the full
+    # deadline.
+    if platform == "tpu":
+        # Persistent compile cache: cuts the two chain compiles from ~220 s
+        # (cold, remote) to ~2 s on warm re-runs.  TPU-only — on CPU the
+        # cached AOT code can mismatch host machine features and spews
+        # loader errors.
+        for opt, val in (
+            ("jax_compilation_cache_dir", os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), ".jax_cache")),
+            ("jax_persistent_cache_min_compile_time_secs", 0.0),
+            ("jax_persistent_cache_min_entry_size_bytes", 0),
+        ):
+            try:
+                jax.config.update(opt, val)
+            except Exception:  # noqa: BLE001 — cache is best-effort
+                pass
+        # One tiny execution round trip before the real work: a wedged
+        # relay hangs HERE (under the global deadline) instead of
+        # mid-measurement, and on a healthy-but-slow tunnel this absorbs
+        # the first-op latency burst (observed up to ~55 s) so the timed
+        # region stays clean.
+        _note("liveness probe (tiny exec round trip)")
+        float(jnp.sum(jnp.ones((8, 8), jnp.float32)))
+        _note("liveness ok")
+
+    _note(f"platform={platform}; generating 512 MB table on device")
+    table = jax.jit(
+        lambda k: jax.random.uniform(k, (E, D), dtype=jnp.float32)
+    )(jax.random.PRNGKey(0))
+    table.block_until_ready()
     rng = np.random.default_rng(0)
-    table = jnp.asarray(rng.random((E, D), dtype=np.float32))
     base_idx = jnp.asarray(rng.integers(0, E, size=(B, NNZ)).astype(np.int32))
     nbytes = embedding_bytes(B, NNZ, D, 4)
-    platform = jax.devices()[0].platform
 
     @functools.partial(jax.jit, static_argnames="n")
     def xla_chain(table, base, n):
@@ -78,40 +154,38 @@ def main() -> int:
     # this config (issue-rate bound, see param_tpu/ops/embedding.py) and a
     # scan-of-pallas chain compiles very slowly, so the headline uses the
     # XLA path only.
-    candidates = {"xla": lambda n: xla_chain(table, base_idx, n)}
-
-    n_hi = 9 if platform == "tpu" else 3
-    best = None
-    for name, chain in candidates.items():
-        try:
-            per = measure_chain(chain, n_lo=1, n_hi=n_hi, reps=3)
-        except Exception as e:  # noqa: BLE001
-            print(f"# {name} path failed: {str(e)[:200]}", file=sys.stderr)
-            continue
-        gbs = nbytes / per / 1e9
-        print(f"# {name}: {per*1e6:.0f} us/step, {gbs:.1f} GB/s", file=sys.stderr)
-        if best is None or gbs > best[1]:
-            best = (name, gbs, per)
-
-    if best is None:
-        print(json.dumps({"metric": "emb_lookup_bw", "value": 0.0, "unit": "GB/s",
-                          "vs_baseline": 0.0, "error": "all paths failed"}))
+    #
+    # Chain lengths are FIXED: at ~40 GB/s a step is ~3.1 ms, so a 64-step
+    # chain is ~200 ms — far above the tunnel's ~20 ms round-trip jitter;
+    # adaptive growth (which recompiles per length) is unnecessary and was
+    # the round-4 timeout cause.
+    n_hi = 64 if platform != "cpu" else 4
+    _note(f"compiling + timing chains (n=1, n={n_hi})")
+    try:
+        per = measure_chain(
+            lambda n: xla_chain(table, base_idx, n),
+            n_lo=1, n_hi=n_hi, reps=3, adaptive=False,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(_error_json(f"measurement failed: {str(e)[:200]}"))
         return 1
 
-    name, gbs, per = best
-    reference_best = 27.65  # GB/s, reference CPU EmbeddingBag (README.md:78)
+    signal.alarm(0)
+    gbs = nbytes / per / 1e9
+    _note(f"{per*1e6:.0f} us/step, {gbs:.1f} GB/s")
     print(
         json.dumps(
             {
-                "metric": "emb_lookup_bw_1Mx128_b8192_nnz30",
+                "metric": METRIC,
                 "value": round(gbs, 2),
                 "unit": "GB/s",
-                "vs_baseline": round(gbs / reference_best, 3),
+                "vs_baseline": round(gbs / REFERENCE_BEST, 3),
                 "detail": {
-                    "path": name,
+                    "path": "xla",
                     "us_per_step": round(per * 1e6, 1),
                     "lookups_per_s": round(B * NNZ / per),
                     "platform": platform,
+                    "wall_s": round(time.time() - _T0, 1),
                 },
             }
         )
