@@ -60,7 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "(reference --master-ip/--master-port)")
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
-    ap.add_argument("--backend", default="tpu", help="registered backend name")
+    ap.add_argument(
+        "--backend", default="tpu",
+        help="registered backend name (tpu | torchcomms | mock; "
+             "torchcomms routes every collective through the communicator "
+             "facade — except quantized --bitwidth all_reduce/reduce, "
+             "which defer to the plain backend since the torchcomms "
+             "surface has no bitwidth parameter)")
     ap.add_argument("--num-devices", type=int, default=0,
                     help="limit device count (0 = all)")
     ap.add_argument("--reps", type=int, default=3,

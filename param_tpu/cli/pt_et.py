@@ -111,6 +111,12 @@ def main(argv=None) -> int:
             n_bops = sum(len(w.skip_ids) for w in bws)
             print(f"fused {len(bws)} attention BACKWARD windows "
                   f"({n_bops} ops) shapes={sorted({w.shape for w in bws})}")
+        n_assumed = sum(w.mask_assumed for w in (*ws, *bws))
+        if n_assumed:
+            print(f"note: {n_assumed} window(s) replay as CAUSAL on the "
+                  "strength of a recorded aten::where whose mask values "
+                  "the trace does not carry; a padding/arbitrary mask "
+                  "would have different semantics (and ~2x the flops)")
 
     if ns.codegen:
         src = replayer.codegen(ns.trace)

@@ -47,10 +47,19 @@ def attention_flops(b: int, h: int, sq: int, sk: int, d: int,
                     causal: bool = False) -> int:
     """MXU flops for one attention forward: QK^T and PV, 2*S_q*S_k*D each.
 
-    Causal halves the useful work; the flash kernel skips fully-masked
-    tiles so it realizes (roughly) the halved count."""
+    Causal masking removes the area above the (bottom-right-aligned)
+    diagonal; for the decode layout S_q <= S_k that is only
+    S_q/(2*S_k) of the rectangle, so the discount is
+    ``(S_k - S_q/2) / S_k`` — NOT a flat half (a flat half understates
+    TF/s badly for S_q << S_k).  Square causal reduces to the familiar
+    half.  The flash kernel skips fully-masked tiles so it realizes
+    (roughly) this count."""
     full = 2 * (2 * b * h * sq * sk * d)
-    return full // 2 if causal else full
+    if not causal:
+        return full
+    if sq <= sk:
+        return int(full * (sk - sq / 2) / sk)
+    return full // 2  # S_q > S_k: kernel unsupported; legacy estimate
 
 
 def attention_bytes(b: int, h: int, sq: int, sk: int, d: int,
@@ -551,6 +560,11 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal: bool = False,
         scale = 1.0 / math.sqrt(d)
     block_q = min(block_q, sq)
     block_k = min(block_k, sk)
+    if sq % block_q or sk % block_k:
+        # Same guard as _flash_forward: a non-dividing length would leave
+        # grid-uncovered rows of dq/dk/dv silently uninitialized.
+        raise ValueError(f"seq ({sq},{sk}) must divide blocks "
+                         f"({block_q},{block_k})")
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     diag_off = sk - sq
@@ -687,7 +701,10 @@ def flash_mha(q, k, v, causal: bool = False, scale: float | None = None):
     matrices never reach HBM in either direction.  Drop-in for
     ``mha_reference`` under ``jax.grad`` (parity pinned in
     tests/test_attention.py).  Shapes the kernels can't tile (S not a
-    multiple of the block, S_q > S_k causal) fall back to XLA recompute."""
+    multiple of the block, S_q > S_k causal) fall back to XLA
+    (mha_reference) in both directions."""
+    if not _flash_mha_supported(q, k, causal):
+        return mha_reference(q, k, v, causal=causal, scale=scale)
     return flash_attention(q, k, v, causal=causal, scale=scale)
 
 
@@ -699,7 +716,9 @@ def _flash_mha_supported(q, k, causal):
 
 def _flash_mha_fwd(q, k, v, causal, scale):
     if not _flash_mha_supported(q, k, causal):
-        return (flash_attention(q, k, v, causal=causal, scale=scale),
+        # XLA fallback — flash_attention itself would raise for exactly
+        # these shapes (non-dividing S, causal S_q > S_k).
+        return (mha_reference(q, k, v, causal=causal, scale=scale),
                 (q, k, v, None, None))
     o, lse = _flash_forward(q, k, v, causal=causal, scale=scale,
                             block_q=1024, block_k=1024, interpret=None,

@@ -54,6 +54,11 @@ class AttnWindow:
     scale: float
     causal: bool
     shape: Tuple[int, int, int, int] = field(default=())  # B, H, S, D
+    # causal=True is an ASSUMPTION: the trace records an aten::where whose
+    # mask VALUES are not in the trace (GPT2's is a sliced causal-bias
+    # buffer; a padding mask would record the same ops).  Surfaced in the
+    # replay report so what-if numbers are read with that caveat.
+    mask_assumed: bool = False
 
 
 def _tensor_slots(node: PtNode):
@@ -227,7 +232,8 @@ def find_attention_windows(nodes: List[PtNode]) -> List[AttnWindow]:
             # no div/mul in the recorded stream = the model scaled q
             # upstream; the fused op must NOT rescale
             scale=scale if scale is not None else 1.0,
-            causal=causal, shape=(b, h, sq, d)))
+            causal=causal, shape=(b, h, sq, d),
+            mask_assumed=causal))
         claimed.update(skip)
     return windows
 
@@ -281,6 +287,7 @@ class AttnBwdWindow:
     causal: bool
     shape: Tuple[int, int, int, int, int] = field(default=())  # B,H,Sq,Sk,D
     index: int = 0  # window ordinal (keys the synthesized o/lse inputs)
+    mask_assumed: bool = False  # see AttnWindow.mask_assumed
 
 
 def find_attention_bwd_windows(nodes: List[PtNode]) -> List[AttnBwdWindow]:
@@ -487,6 +494,6 @@ def find_attention_bwd_windows(nodes: List[PtNode]) -> List[AttnBwdWindow]:
                 if o is not None],
             scale=scale if scale is not None else 1.0,
             causal=causal, shape=(b, h, sq, sk, d),
-            index=len(windows)))
+            index=len(windows), mask_assumed=causal))
         claimed.update(skip)
     return windows
