@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--iters", type=int, default=1)
     ap.add_argument("--max-ops", type=int, default=None,
                     help="replay only the first N selected ops")
+    ap.add_argument("--max-tensor-bytes", type=int, default=None,
+                    help="shrink fbgemm embedding weight blobs above this "
+                         "size to row-surrogates so multi-GB lookup ops "
+                         "execute on memory-bounded targets (shrunk blobs "
+                         "are listed in the report)")
     ap.add_argument("--chain", action="store_true",
                     help="fuse the whole op stream into ONE XLA program and "
                          "time it with scalar-fetch delta-N chains (the "
@@ -97,6 +102,7 @@ def main(argv=None) -> int:
         data, max_ops=ns.max_ops, skip_names=skip,
         skip_config_path=ns.skip_config, mode=ns.mode, backend=backend,
         target_rank=ns.target_rank, cast=ns.cast, fuse=ns.fuse,
+        max_tensor_bytes=ns.max_tensor_bytes,
     )
     print(f"selected {len(replayer.nodes)} ATen ops "
           f"(schema {replayer.et.schema})")

@@ -1228,6 +1228,7 @@ class PyTorchOpReplay:
         triton_surrogate: bool = True,
         cast: Optional[str] = None,
         fuse: Optional[str] = None,
+        max_tensor_bytes: Optional[int] = None,
     ):
         """``mode="comp"`` replays the ATen stream only (reference
         ReplayMode.COMP); ``mode="full"`` interleaves the
@@ -1253,6 +1254,17 @@ class PyTorchOpReplay:
         self.max_ops = max_ops
         self.skip_names = set(skip_names or ())
         self.skip_config_path = skip_config_path
+        # fbgemm weight-blob surrogate shrinking: production DLRM traces
+        # record multi-GB flat embedding blobs (the dlrm fixture's adagrad
+        # op reads a 2.4 GB dev_weights tensor) whose replay semantics
+        # only need SOME rows to gather — _fbgemm_lookup derives its row
+        # count from the blob it is given and wraps indices mod rows, so a
+        # shrunk surrogate keeps the op executable (same indices count,
+        # same output shape) on memory-bounded targets.  None = replay the
+        # recorded sizes verbatim.
+        self.max_tensor_bytes = max_tensor_bytes
+        self._shrunk: Dict[Tuple[int, int], Tuple[Tuple[int, ...],
+                                                  Tuple[int, ...]]] = {}
         self.nodes: List[PtNode] = []
         self.registry: Dict[Tuple[int, int], Any] = {}
         self.stats: Dict[str, OpStat] = {}
@@ -1360,14 +1372,29 @@ class PyTorchOpReplay:
         # shape comes from the per-slot shapes metadata captured in resolve
         return tuple(self._cur_shape)
 
-    def _resolve_tensor(self, desc, shape, type_token):
+    def _resolve_tensor(self, desc, shape, type_token, shrinkable=False):
         key = _tensor_key(desc)
         # a missing optional (nullptr) stays None; a REAL zero-size tensor
         # (empty grads etc.) materializes as an empty array so view/sum/
         # empty_like over it replay instead of skipping
         if key is None or "nullptr" in (type_token or ""):
             return None
+        if key in self._shrunk:
+            # surrogate tensors keep their shrunk shape on every resolve
+            # (the recorded shape would fail the registry shape test and
+            # re-materialize a fresh blob per op)
+            return self.registry[key]
         self._cur_shape = [int(d) for d in shape]
+        if (shrinkable and self.max_tensor_bytes
+                and self._cur_shape
+                and int(np.prod(self._cur_shape)) * 4 > self.max_tensor_bytes):
+            orig = tuple(self._cur_shape)
+            factor = -(-int(np.prod(orig)) * 4 // self.max_tensor_bytes)
+            self._cur_shape[0] = max(1, self._cur_shape[0] // factor)
+            self._shrunk[key] = (orig, tuple(self._cur_shape))
+            val = self._materialize(desc, type_token)
+            self.registry[key] = val
+            return val
         if key in self.registry:
             val = self.registry[key]
             want = tuple(self._cur_shape)
@@ -1394,7 +1421,10 @@ class PyTorchOpReplay:
         for i, (v, t) in enumerate(zip(node.inputs, node.input_types)):
             shape = node.input_shapes[i] if i < len(node.input_shapes) else []
             if _is_tensor_slot(t):
-                arr = self._resolve_tensor(v, shape, t)
+                arr = self._resolve_tensor(
+                    v, shape, t,
+                    shrinkable=node.name.startswith("fbgemm::")
+                    and "lookup" in node.name)
                 args.append(arr)
                 if arr is None:
                     spec.append(("null",))
@@ -1789,6 +1819,10 @@ class PyTorchOpReplay:
             "num_executed": executed,
             "num_skipped_names": len(self.skipped),
             "skipped": dict(self.skipped),
+            "shrunk_tensors": {
+                str(k): {"recorded": list(o), "surrogate": list(s)}
+                for k, (o, s) in self._shrunk.items()
+            },
             "wall_s": wall_s,
             "iters_per_s": iters / wall_s if wall_s > 0 else 0.0,
             "per_op": per_op,
