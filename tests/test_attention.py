@@ -174,3 +174,43 @@ def test_flash_sharded_over_heads():
     ref = mha_reference(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("d", [64, 32])
+def test_flash_head_packed(causal, d):
+    """d < 128 heads pack 128/d per lane block (auto); parity against
+    both the oracle and the forced-unpacked kernel."""
+    g = 128 // d
+    b, h, s = 2, 2 * g, 256
+    q = _rand((b, h, s, d), jnp.float32, 20)
+    k = _rand((b, h, s, d), jnp.float32, 21)
+    v = _rand((b, h, s, d), jnp.float32, 22)
+    ref = mha_reference(q, k, v, causal=causal)
+    packed = flash_attention(q, k, v, causal=causal, block_q=128,
+                             block_k=128)  # pack_heads=None -> auto on
+    unpacked = flash_attention(q, k, v, causal=causal, block_q=128,
+                               block_k=128, pack_heads=False)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(unpacked), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_head_packed_rectangular_and_odd_h():
+    """Decode layout packs too; an unpackable head count (h % g != 0)
+    falls back to the unpacked kernel rather than failing."""
+    q = _rand((1, 4, 128, 64), jnp.float32, 23)
+    k = _rand((1, 4, 256, 64), jnp.float32, 24)
+    v = _rand((1, 4, 256, 64), jnp.float32, 25)
+    ref = mha_reference(q, k, v, causal=True)
+    out = flash_attention(q, k, v, causal=True, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # h=3 is not divisible by g=2: auto-pack must quietly stay unpacked
+    q3 = _rand((1, 3, 128, 64), jnp.float32, 26)
+    out3 = flash_attention(q3, q3, q3, causal=False, block_q=128,
+                           block_k=128)
+    np.testing.assert_allclose(np.asarray(out3),
+                               np.asarray(mha_reference(q3, q3, q3)),
+                               atol=2e-5, rtol=2e-5)
