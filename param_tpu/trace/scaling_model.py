@@ -68,6 +68,26 @@ from param_tpu.utils.dtypes import dtype_from_name, dtype_size
 # bandwidth of a single ICI link in GB/s.  pod_shape is the maximum torus;
 # smaller slices factorize into sub-tori.  DCN defaults assume a
 # 200 Gbps-class NIC per host, shared by the host's chips.
+#
+# Constant provenance (tests/test_scaling_model.py pins these anchors):
+# - v5e: Google Cloud TPU v5e public spec sheet — 197 bf16 TF/s, 819 GB/s
+#   HBM, 1600 Gbps aggregate ICI per chip over 4 links (2D torus) =
+#   400 Gbps = 50 GB/s one-way per link; 256-chip 16x16 pod, 8 chips/host.
+# - v4: public spec — 275 bf16 TF/s, 1228 GB/s HBM, 4096-chip 16^3 torus
+#   (6 links/chip at ~50 GB/s one-way).
+# - v5p: public spec — 459 bf16 TF/s, 2765 GB/s HBM, 4800 Gbps ICI per
+#   chip over 6 links = 100 GB/s one-way; 8960-chip 16x20x28 pod.
+# - v6e (Trillium): public launch figures — ~4.7x v5e peak (918 bf16
+#   TF/s), 2x v5e HBM BW (1640 GB/s), v5e-style 2D 16x16 pod.
+# - hop_latency_us ~1 us: the public "How to Scale Your Model" book's
+#   per-hop ICI latency figure (jax-ml.github.io/scaling-book).
+# - gather_rows_per_s: measured on THIS repo's v5e chip (RESULTS.md
+#   gather studies, ~80-95 M rows/s DMA-issue ceiling), HBM-ratio scaled
+#   to other generations.
+# The compute roofline is additionally anchored to on-chip MEASUREMENTS
+# (RESULTS.md GEMM tables) by tests — predictions must land within 25%
+# of the measured 49.4 us (1024,4096,1024) and 52.5 us (128,4096,4096)
+# bf16 GEMMs, the reference matmul_perf_model.py:71 spirit.
 
 
 @dataclass(frozen=True)
