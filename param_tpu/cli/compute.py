@@ -82,6 +82,23 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--chain", type=int, default=16)
     a.add_argument("--reps", type=int, default=2)
 
+    t = sub.add_parser("transformer", help="pre-LN transformer-block "
+                       "train-step bench (flash_mha vs unfused XLA "
+                       "attention; GPT2/llama2 dims)")
+    t.add_argument("--dataset", default="all",
+                   choices=["gpt2", "gpt2-medium", "llama2", "all"])
+    t.add_argument("--shape", default=None,
+                   help="explicit batch,seq,emb,heads,ffn (overrides "
+                        "--dataset)")
+    t.add_argument("--dtype", default="bfloat16")
+    t.add_argument("--paths", default="flash,xla",
+                   help="comma list of flash|xla attention paths")
+    t.add_argument("--no-causal", action="store_true")
+    t.add_argument("--fwd-only", action="store_true",
+                   help="forward only (no grad/update)")
+    t.add_argument("--chain", type=int, default=8)
+    t.add_argument("--reps", type=int, default=2)
+
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace into DIR")
     ap.add_argument("--log", default="INFO")
@@ -141,6 +158,19 @@ def main(argv=None) -> int:
         results = bench_emb(
             configs, dtype=ns.dtype, n_hi=ns.chain, reps=ns.reps,
             distribution=ns.distribution, max_rows=ns.max_rows or None,
+        )
+    elif ns.cmd == "transformer":
+        from param_tpu.ops.compute_bench import bench_transformer
+
+        configs = (
+            [tuple(int(x) for x in ns.shape.split(","))]
+            if ns.shape
+            else datasets.TRANSFORMER_DATASETS[ns.dataset]
+        )
+        results = bench_transformer(
+            configs, dtype=ns.dtype, causal=not ns.no_causal,
+            paths=[p.strip() for p in ns.paths.split(",") if p.strip()],
+            n_hi=ns.chain, reps=ns.reps, grad=not ns.fwd_only,
         )
     elif ns.cmd == "attention":
         from param_tpu.ops.compute_bench import bench_attention

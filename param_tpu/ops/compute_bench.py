@@ -430,6 +430,145 @@ def bench_attention(
     return results
 
 
+# ------------------------------------------------------- transformer block
+def transformer_block_flops(b: int, s: int, e: int, h: int, ff: int,
+                            causal: bool = True, grad: bool = True) -> int:
+    """Matmul flops of one pre-LN transformer block step (LN/gelu
+    elementwise work excluded, the standard accounting): QKV proj
+    (E->3E), attention (attention_flops), output proj (E->E), 2-layer
+    FFN (E->ff->E).  Training counts backward as 2x for projections and
+    5/2x for attention (flash_mha: 2 fwd + 5 bwd matmuls)."""
+    from param_tpu.ops.attention import attention_flops
+
+    proj = 2 * b * s * (e * 3 * e + e * e + 2 * e * ff)
+    att = attention_flops(b, h, s, s, e // h, causal)
+    if grad:
+        return 3 * proj + att * 7 // 2
+    return proj + att
+
+
+def bench_transformer(
+    shapes: List[tuple],
+    dtype: str = "bfloat16",
+    causal: bool = True,
+    paths: Optional[List[str]] = None,
+    n_hi: int = 8,
+    reps: int = 2,
+    grad: bool = True,
+    lr: float = 1e-4,
+) -> List[ComputeResult]:
+    """Pre-LN transformer-block TRAIN-STEP rows (VERDICT r4 next #7):
+    x + MHA(LN(x)) then x + FFN(LN(x)), loss = mean(out^2), SGD update —
+    the whole step (fwd + bwd + update) as ONE jitted program, chained
+    with the params as the scan carry so every chain step is a real
+    optimization step.  Shapes are (batch, seq, emb, heads, ffn)
+    (datasets.TRANSFORMER_DATASETS; llama2/GPT2 dims).
+
+    paths: 'flash' routes attention through flash_mha (Pallas kernels in
+    both directions — O(S*D) attention HBM traffic); 'xla' through the
+    unfused oracle (what the recorded PyTorch op stream pays).  TF/s from
+    transformer_block_flops, roofline vs the chip MXU peak."""
+    from param_tpu.ops.attention import flash_mha, mha_reference
+
+    dt = dtype_from_name(dtype)
+    chip = detect_chip()
+    peak = matmul_roofline_tflops(chip, dtype)
+    paths = paths or ["flash", "xla"]
+    results = []
+    for b, s, e, h, ff in shapes:
+        d = e // h
+        assert h * d == e, (e, h)
+        rng = np.random.default_rng(0)
+
+        def _w(*shape, scale=None):
+            scale = scale or (1.0 / np.sqrt(shape[0]))
+            return (jnp.asarray(
+                rng.standard_normal(shape, dtype=np.float32)) * scale
+            ).astype(dt)
+
+        params = {
+            "ln1": (jnp.ones((e,), dt), jnp.zeros((e,), dt)),
+            "wqkv": _w(e, 3 * e),
+            "wo": _w(e, e),
+            "ln2": (jnp.ones((e,), dt), jnp.zeros((e,), dt)),
+            "w1": _w(e, ff),
+            "w2": _w(ff, e),
+        }
+        x0 = (jnp.asarray(
+            rng.standard_normal((b, s, e), dtype=np.float32)) * 0.1
+        ).astype(dt)
+
+        def _ln(x, g, bi):
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.var(xf, axis=-1, keepdims=True)
+            return ((xf - mu) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype) \
+                * g + bi
+
+        for path in paths:
+            def block(p, x, path=path):
+                hx = _ln(x, *p["ln1"])
+                qkv = hx @ p["wqkv"]  # (B, S, 3E)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+
+                def heads(t):
+                    return t.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+                if path == "flash":
+                    a = flash_mha(heads(q), heads(k), heads(v), causal, None)
+                else:
+                    a = mha_reference(heads(q), heads(k), heads(v),
+                                      causal=causal)
+                a = a.transpose(0, 2, 1, 3).reshape(b, s, e)
+                x = x + a @ p["wo"]
+                h2 = _ln(x, *p["ln2"])
+                return x + jax.nn.gelu(h2 @ p["w1"]) @ p["w2"]
+
+            def train_step(p, x):
+                def loss_fn(p):
+                    return jnp.mean(jnp.square(
+                        block(p, x).astype(jnp.float32)))
+
+                loss, g = jax.value_and_grad(loss_fn)(p)
+                p = jax.tree.map(
+                    lambda w, gw: (w.astype(jnp.float32)
+                                   - lr * gw.astype(jnp.float32)
+                                   ).astype(w.dtype), p, g)
+                return p, loss
+
+            @functools.partial(jax.jit, static_argnames="nn")
+            def chain(p, x, nn):
+                def step(carry, i):
+                    p, acc = carry
+                    xi = x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
+                    if grad:
+                        p, loss = train_step(p, xi)
+                    else:
+                        loss = jnp.mean(jnp.square(
+                            block(p, xi).astype(jnp.float32)))
+                    return (p, acc + loss), None
+
+                (p, acc), _ = lax.scan(step, (p, jnp.float32(0)),
+                                       jnp.arange(nn))
+                return acc
+
+            try:
+                per = measure_chain(lambda nn: chain(params, x0, nn=nn),
+                                    n_lo=1, n_hi=n_hi, reps=reps)
+            except Exception:
+                log.exception("transformer %s path=%s failed",
+                              (b, s, e, h, ff), path)
+                continue
+            fl = transformer_block_flops(b, s, e, h, ff, causal, grad)
+            tf = fl / per / 1e12
+            results.append(_report(ComputeResult(
+                op=f"tf{'' if grad else '-fwd'}:{path}",
+                shape=(b, s, e, h, ff), lat_us=per * 1e6,
+                tflops=tf, roofline_frac=tf / peak if peak else 0.0,
+            ), dtype))
+    return results
+
+
 def print_results(results: List[ComputeResult], dtype: str) -> None:
     chip = detect_chip()
     print(f"\nCOMPUTE-RES chip={chip.name} dtype={dtype}")

@@ -56,6 +56,16 @@ MLP_A = [
 ATTN_GPT2 = [(b, 12, 1024, 64) for b in (1, 8, 32)]
 ATTN_LLAMA2 = [(1, 32, 2048, 128), (1, 32, 4096, 128), (4, 32, 2048, 128)]
 
+# transformer-block tuple (batch, seq, emb, heads, ffn) — pre-LN block
+# train-step bench (cli.compute transformer).  gpt2 matches the hf_GPT2
+# ET fixture config (E=768, 12 heads of 64, ff=3072); gpt2-medium is the
+# 350M-class block; llama2 matches the LLaMA-2-7B dims whose projection
+# GEMMs are already measured in RESULTS.md (reference shape source:
+# train/compute/python llama2 config).
+TRANSFORMER_GPT2 = [(8, 1024, 768, 12, 3072)]
+TRANSFORMER_GPT2_MEDIUM = [(4, 1024, 1024, 16, 4096)]
+TRANSFORMER_LLAMA2 = [(1, 2048, 4096, 32, 11008)]
+
 DATASETS = {
     "A": GEMM_A, "B": GEMM_B, "C": GEMM_C,
 }
@@ -64,3 +74,9 @@ GEMM_DATASETS = {"A": GEMM_A, "B": GEMM_B, "C": GEMM_C}
 ATTN_DATASETS = {"gpt2": ATTN_GPT2, "llama2": ATTN_LLAMA2}
 EMB_DATASETS = {"A": EMB_A, "B": EMB_B, "baseline": EMB_BASELINE}
 MLP_DATASETS = {"A": MLP_A}
+TRANSFORMER_DATASETS = {
+    "gpt2": TRANSFORMER_GPT2,
+    "gpt2-medium": TRANSFORMER_GPT2_MEDIUM,
+    "llama2": TRANSFORMER_LLAMA2,
+    "all": TRANSFORMER_GPT2 + TRANSFORMER_GPT2_MEDIUM + TRANSFORMER_LLAMA2,
+}

@@ -94,3 +94,32 @@ class TestReport:
         out = capsys.readouterr().out
         assert "COMPUTE-RES" in out
         assert "gemm" in out
+
+
+class TestTransformerBlock:
+    def test_flops_model(self):
+        from param_tpu.ops.attention import attention_flops
+        from param_tpu.ops.compute_bench import transformer_block_flops
+
+        b, s, e, h, ff = 2, 128, 128, 2, 256
+        proj = 2 * b * s * (e * 3 * e + e * e + 2 * e * ff)
+        att = attention_flops(b, h, s, s, e // h, True)
+        assert transformer_block_flops(b, s, e, h, ff, True, False) == \
+            proj + att
+        assert transformer_block_flops(b, s, e, h, ff, True, True) == \
+            3 * proj + att * 7 // 2
+
+    def test_train_step_rows(self):
+        from param_tpu.ops.compute_bench import bench_transformer
+
+        rows = bench_transformer([(1, 128, 128, 2, 256)], n_hi=2, reps=1,
+                                 paths=["flash", "xla"])
+        assert [r.op for r in rows] == ["tf:flash", "tf:xla"]
+        assert all(r.lat_us > 0 and r.tflops > 0 for r in rows)
+
+    def test_fwd_only_row(self):
+        from param_tpu.ops.compute_bench import bench_transformer
+
+        rows = bench_transformer([(1, 128, 128, 2, 256)], n_hi=2, reps=1,
+                                 paths=["flash"], grad=False)
+        assert rows[0].op == "tf-fwd:flash"
