@@ -62,11 +62,16 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--cast", default=None, choices=[None, "bf16"],
                     help="what-if precision: materialize the recorded fp32 "
                          "tensors as bfloat16 (TPU-native) before replay")
-    ap.add_argument("--fuse", default=None, choices=[None, "attention"],
+    ap.add_argument("--fuse", default=None,
+                    choices=[None, "attention", "attention-train"],
                     help="what-if kernel fusion: pattern-match attention "
                          "windows (matmul/div/where/softmax/matmul) in the "
                          "op stream and replay each as ONE flash-attention "
-                         "Pallas call (ops/attention.py)")
+                         "Pallas call (ops/attention.py).  'attention' "
+                         "fuses forward windows (measured -6%% on hf_GPT2); "
+                         "'attention-train' also replaces the backward "
+                         "windows with flash_attention_bwd — wins at long "
+                         "S, loses at S=512 (see RESULTS.md)")
     ap.add_argument("--skip-config", default=None,
                     help="JSON skip config; auto-updated with failing ops")
     ap.add_argument("--codegen", default=None, metavar="OUT.py",

@@ -143,12 +143,16 @@ def _online_softmax_tile_packed(q_ref, k_ref, v_ref, m_ref, l_ref, acc_ref,
         O += P_seg @ V_diag     (block_q, g*d0)        full 128-lane MXU
 
     with segment s columns [h*block_k, (h+1)*block_k) holding head h's
-    scores only.  The softmax recurrence runs per segment; (m, l) live
-    broadcast across each head's LANE BAND so the accumulator rescale and
-    the final O = acc/l stay elementwise.  The zero halves of K_diag cost
-    extra MACs, but the MXU idles those lanes at d0 < 128 anyway — this
-    trades idle lanes for full-width PV and 128-lane-aligned VMEM tiles
-    (measured d0=64: 13.3% of roofline unpacked)."""
+    scores only.  The softmax recurrence runs per segment; (m, l) live in
+    (g, block_q, 128) scratch SLABS (segment h's value broadcast across
+    slab h) so every cross-step read is a plain leading-dim index — no
+    lane-splitting reshapes, which Mosaic cannot lower ("infer-vector-
+    layout: unsupported shape cast" on (bq,128)->(bq,g,d0)); segment
+    score slices sit at block_k-aligned lane offsets, also clean.  The
+    zero halves of K_diag cost extra MACs, but the MXU idles those lanes
+    at d0 < 128 anyway — this trades idle lanes for full-width PV and
+    128-lane-aligned VMEM tiles (measured d0=64: 13.3% of roofline
+    unpacked)."""
     dp = g * d0  # = 128
     k = k_ref[0]
     v = v_ref[0]
@@ -168,24 +172,29 @@ def _online_softmax_tile_packed(q_ref, k_ref, v_ref, m_ref, l_ref, acc_ref,
             jnp.int32, (block_q, g * block_k), 1) % block_k
         s = jnp.where(cols <= rows + diag_off, s, _NEG_INF)
 
-    s3 = s.reshape(block_q, g, block_k)
-    m_prev_h = m_ref[:].reshape(block_q, g, d0)[:, :, 0]       # (bq, g)
-    m_new_h = jnp.maximum(m_prev_h, jnp.max(s3, axis=2))
-    m_new = jnp.broadcast_to(
-        m_new_h[:, :, None], (block_q, g, d0)).reshape(block_q, dp)
-    alpha = jnp.exp(m_ref[:] - m_new)                          # per lane
-    p = jnp.exp(s3 - m_new_h[:, :, None])                      # (bq, g, bk)
-    if masked:
-        p = jnp.where(s3 > _NEG_INF / 2, p, 0.0)
-    l_h = jnp.sum(p, axis=2)                                   # (bq, g)
-    l_ref[:] = l_ref[:] * alpha + jnp.broadcast_to(
-        l_h[:, :, None], (block_q, g, d0)).reshape(block_q, dp)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p.reshape(block_q, g * block_k).astype(vd.dtype), vd,
-        (((1,), (0,)), ((), ())),
+    p_segs, alpha_bands = [], []
+    for h in range(g):
+        s_h = jax.lax.slice(
+            s, (0, h * block_k), (block_q, (h + 1) * block_k))
+        m_prev = m_ref[h]                                   # (bq, 128)
+        m_cur = jnp.max(s_h, axis=1, keepdims=True)         # (bq, 1)
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        alpha = jnp.exp(m_prev - m_new)                     # (bq, 128)
+        p_h = jnp.exp(s_h - m_new[:, :1])                   # (bq, bk)
+        if masked:
+            p_h = jnp.where(s_h > _NEG_INF / 2, p_h, 0.0)
+        l_ref[h] = l_ref[h] * alpha + jnp.broadcast_to(
+            jnp.sum(p_h, axis=1, keepdims=True), alpha.shape)
+        m_ref[h] = m_new
+        p_segs.append(p_h)
+        alpha_bands.append(jax.lax.slice(alpha, (0, 0), (block_q, d0)))
+
+    alpha_lane = jnp.concatenate(alpha_bands, axis=1)       # (bq, 128)
+    pd = jnp.concatenate(p_segs, axis=1)                    # (bq, g*bk)
+    acc_ref[:] = acc_ref[:] * alpha_lane + jax.lax.dot_general(
+        pd.astype(vd.dtype), vd, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    m_ref[:] = m_new
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
@@ -230,7 +239,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
 
     @pl.when(kj == n_k - 1)
     def _finalize():
-        div = l_ref[:, :1] if g == 1 else l_ref[:]  # packed: per lane band
+        if g == 1:
+            div = l_ref[:, :1]
+        else:  # packed: rebuild the lane-banded denominator from slabs
+            div = jnp.concatenate(
+                [jax.lax.slice(l_ref[h], (0, 0), (l_ref.shape[1], d0))
+                 for h in range(g)], axis=1)
         o_ref[0] = (acc_ref[:] / div).astype(o_ref.dtype)
         if has_lse:
             lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
@@ -274,7 +288,12 @@ def _flash_kernel_causal(qi_ref, kj_ref, last_ref, q_ref, k_ref, v_ref,
 
     @pl.when(last_ref[t] == 1)
     def _finalize():
-        div = l_ref[:, :1] if g == 1 else l_ref[:]  # packed: per lane band
+        if g == 1:
+            div = l_ref[:, :1]
+        else:  # packed: rebuild the lane-banded denominator from slabs
+            div = jnp.concatenate(
+                [jax.lax.slice(l_ref[h], (0, 0), (l_ref.shape[1], d0))
+                 for h in range(g)], axis=1)
         o_ref[0] = (acc_ref[:] / div).astype(o_ref.dtype)
         if has_lse:
             lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
@@ -353,9 +372,10 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k,
     q3 = q.reshape(b * h, sq, d)
     k3 = k.reshape(b * h, sk, d)
     v3 = v.reshape(b * h, sk, d)
+    stat_shape = ((block_q, 128) if g == 1 else (g, block_q, 128))
     scratch = [
-        pltpu.VMEM((block_q, 128), jnp.float32),  # running max
-        pltpu.VMEM((block_q, 128), jnp.float32),  # running denom
+        pltpu.VMEM(stat_shape, jnp.float32),      # running max
+        pltpu.VMEM(stat_shape, jnp.float32),      # running denom
         pltpu.VMEM((block_q, d), jnp.float32),    # output accumulator
     ]
     diag_off = sk - sq

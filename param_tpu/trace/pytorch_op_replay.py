@@ -1275,11 +1275,19 @@ class PyTorchOpReplay:
         # flash-attention call each (trace/attention_fusion.py) — measures
         # what the recorded model would cost with fused attention on this
         # chip, complementing the --cast precision what-if.
-        assert fuse in (None, "attention"), fuse
+        #
+        # "attention" fuses FORWARD windows only — measured on hf_GPT2
+        # (S=512): fwd fusion 31.3 -> 29.4 ms/iter, while additionally
+        # replacing the backward windows gave the 2.2 ms back (flash
+        # bwd's S-recompute exceeds its HBM savings at short S, and the
+        # synthesized o/lse residuals add reads; see RESULTS.md).
+        # "attention-train" opts into the bwd windows too — the right
+        # what-if for long-sequence training traces.
+        assert fuse in (None, "attention", "attention-train"), fuse
         self.fused_windows: List[Any] = []
         self._fused_skip: set = set()
         self._fused_emit: Dict[int, Any] = {}
-        if fuse == "attention":
+        if fuse in ("attention", "attention-train"):
             from param_tpu.trace.attention_fusion import (
                 find_attention_bwd_windows, find_attention_windows)
 
@@ -1287,7 +1295,9 @@ class PyTorchOpReplay:
             # backward windows of a recorded training iteration replay as
             # flash_attention_bwd calls (the o/lse residuals the recorded
             # graph never saved are synthesized as external inputs)
-            self.fused_bwd_windows = find_attention_bwd_windows(self.nodes)
+            self.fused_bwd_windows = (
+                find_attention_bwd_windows(self.nodes)
+                if fuse == "attention-train" else [])
             for w in (*self.fused_windows, *self.fused_bwd_windows):
                 if w.skip_ids & self._fused_skip:
                     continue  # overlapping match — keep the earlier window

@@ -160,15 +160,20 @@ def test_train_fixture_fused_replay_and_chain():
                         "transformer_train_et.json.gz")
     with gzip.open(path, "rt") as f:
         data = json.load(f)
-    r = PyTorchOpReplay(data, fuse="attention")
+    r = PyTorchOpReplay(data, fuse="attention-train")
     rep = r.replay(iters=1, timed=False)
     assert not rep["skipped"]
     assert rep["per_op"]["fused::flash_attention"]["count"] == 2
     assert rep["per_op"]["fused::flash_attention_bwd"]["count"] == 2
 
-    r2 = PyTorchOpReplay(data, fuse="attention")
+    r2 = PyTorchOpReplay(data, fuse="attention-train")
     v = float(r2.build_chain()(1))
     assert np.isfinite(v)
+
+    # plain "attention" fuses the forward windows only (the measured
+    # net-win default; bwd replacement lost 2.2 ms on hf_GPT2 S=512)
+    r3 = PyTorchOpReplay(data, fuse="attention")
+    assert len(r3.fused_windows) == 2 and not r3.fused_bwd_windows
 
 
 def test_gpt2_bwd_window_detection(gpt2_data):
