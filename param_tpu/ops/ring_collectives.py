@@ -256,3 +256,43 @@ def ring_all_gather_bidir(x, axis: str, collective_id: int = 9):
         ),
         interpret=_interpret(),
     )(x)
+
+
+def _loopback_kernel(x_ref, o_ref, send_sem, recv_sem, *, axis: str, n: int,
+                     barrier: bool = True):
+    my_id = lax.axis_index(axis)
+    if barrier:  # interpret mode can't lower semaphore_wait's poll loop
+        _neighbor_barrier(my_id, n)
+    rdma = pltpu.make_async_remote_copy(
+        src_ref=x_ref, dst_ref=o_ref, send_sem=send_sem, recv_sem=recv_sem,
+        device_id=my_id, device_id_type=pltpu.DeviceIdType.LOGICAL,
+    )
+    rdma.start()
+    rdma.wait()
+
+
+def loopback_remote_copy(x, axis: str, collective_id: int = 13):
+    """Single-chip SILICON validation slice for the RDMA ring tier.
+
+    Issues a real ``make_async_remote_copy`` whose destination is this
+    chip itself (device_id == my own logical id), behind the same
+    barrier-semaphore handshake the ring kernels use.  On one real chip
+    this exercises every layer the rings depend on — descriptor
+    construction, barrier/send/recv semaphores, DMA start/wait — without
+    multi-chip ICI links (validated 2026-08-20 on the attached v5e:
+    bit-exact round trip).  What it cannot validate is the inter-chip
+    wire itself; that remains hardware-blocked (see STATUS.md).
+    Run under shard_map over a 1-device mesh."""
+    n = lax.axis_size(axis)
+    return pl.pallas_call(
+        functools.partial(_loopback_kernel, axis=axis, n=n,
+                          barrier=not _interpret()),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=collective_id
+        ),
+        interpret=_interpret(),
+    )(x)
