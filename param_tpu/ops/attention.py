@@ -197,6 +197,25 @@ def _online_softmax_tile_packed(q_ref, k_ref, v_ref, m_ref, l_ref, acc_ref,
     )
 
 
+def _fwd_finalize(o_ref, lse_ref, m_ref, l_ref, acc_ref, g, d0, has_lse):
+    """Write O (and lse).  Packed (g>1): the denominator rebuilds
+    lane-banded from the per-head slabs, and lse emits the heads as
+    128-wide segments at aligned lane offsets — the layout the packed
+    backward consumes."""
+    if g == 1:
+        div = l_ref[:, :1]
+        if has_lse:
+            lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
+    else:
+        div = jnp.concatenate(
+            [jax.lax.slice(l_ref[h], (0, 0), (l_ref.shape[1], d0))
+             for h in range(g)], axis=1)
+        if has_lse:
+            lse_ref[0] = jnp.concatenate(
+                [m_ref[h] + jnp.log(l_ref[h]) for h in range(g)], axis=1)
+    o_ref[0] = (acc_ref[:] / div).astype(o_ref.dtype)
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
                   scale: float, block_q: int, block_k: int, causal: bool,
                   diag_off: int, has_lse: bool = False, g: int = 1,
@@ -239,15 +258,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
 
     @pl.when(kj == n_k - 1)
     def _finalize():
-        if g == 1:
-            div = l_ref[:, :1]
-        else:  # packed: rebuild the lane-banded denominator from slabs
-            div = jnp.concatenate(
-                [jax.lax.slice(l_ref[h], (0, 0), (l_ref.shape[1], d0))
-                 for h in range(g)], axis=1)
-        o_ref[0] = (acc_ref[:] / div).astype(o_ref.dtype)
-        if has_lse:
-            lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
+        _fwd_finalize(o_ref, lse_ref, m_ref, l_ref, acc_ref, g, d0, has_lse)
 
 
 def _flash_kernel_causal(qi_ref, kj_ref, last_ref, q_ref, k_ref, v_ref,
@@ -288,15 +299,7 @@ def _flash_kernel_causal(qi_ref, kj_ref, last_ref, q_ref, k_ref, v_ref,
 
     @pl.when(last_ref[t] == 1)
     def _finalize():
-        if g == 1:
-            div = l_ref[:, :1]
-        else:  # packed: rebuild the lane-banded denominator from slabs
-            div = jnp.concatenate(
-                [jax.lax.slice(l_ref[h], (0, 0), (l_ref.shape[1], d0))
-                 for h in range(g)], axis=1)
-        o_ref[0] = (acc_ref[:] / div).astype(o_ref.dtype)
-        if has_lse:
-            lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
+        _fwd_finalize(o_ref, lse_ref, m_ref, l_ref, acc_ref, g, d0, has_lse)
 
 
 @functools.partial(
@@ -349,12 +352,12 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k,
         transcendentals=b * h * sq * sk,
     )
 
-    # head packing (d < 128): g heads share one 128-lane block.  The lse
-    # residual layout is per-head, so the training path (return_lse)
-    # stays unpacked.
+    # head packing (d < 128): g heads share one 128-lane block.  With
+    # return_lse the residual comes back in the PACKED layout
+    # (B*H/g, S_q, g*128) — head h of a pack in lane segment
+    # [h*128, (h+1)*128) — which flash_attention_bwd auto-detects.
     g, d0, h_orig = 1, d, h
-    packable = (not return_lse and d in (32, 64)
-                and h % (128 // d) == 0)
+    packable = d in (32, 64) and h % (128 // d) == 0
     if pack_heads is None:
         pack_heads = packable
     if pack_heads and packable:
@@ -400,7 +403,8 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k,
     out_shape = jax.ShapeDtypeStruct((b * h, sq, d), q.dtype)
     if return_lse:
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((b * h, sq, 128), jnp.float32)]
+                     jax.ShapeDtypeStruct((b * h, sq, g * 128),
+                                          jnp.float32)]
 
     if causal and len(tiles) < n_q * n_kv:
         # Compacted lower-triangle tile walk (see _flash_kernel_causal):
@@ -421,7 +425,7 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k,
                                 lambda bh, t, qi, kj, lf: (bh, qi[t], 0))
         if return_lse:
             out_spec = [out_spec,
-                        pl.BlockSpec((1, block_q, 128),
+                        pl.BlockSpec((1, block_q, g * 128),
                                      lambda bh, t, qi, kj, lf: (bh, qi[t], 0))]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -453,13 +457,13 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k,
             interpret=interpret,
         )(qi_arr, kj_arr, last_arr, q3, k3, v3)
         if return_lse:
-            return out[0].reshape(b, h, sq, d), out[1]
+            return unpack(out[0]), out[1]
         return unpack(out)
 
     out_spec = pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0))
     if return_lse:
         out_spec = [out_spec,
-                    pl.BlockSpec((1, block_q, 128),
+                    pl.BlockSpec((1, block_q, g * 128),
                                  lambda bh, i, j: (bh, i, 0))]
     out = pl.pallas_call(
         functools.partial(
@@ -484,7 +488,7 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k,
         interpret=interpret,
     )(q3, k3, v3)
     if return_lse:
-        return out[0].reshape(b, h, sq, d), out[1]
+        return unpack(out[0]), out[1]
     return unpack(out)
 
 
@@ -598,60 +602,206 @@ def _masked_dispatch(causal, qi, kj, block_q, block_k, diag_off):
     return run
 
 
+# ---- packed (d0 < 128) backward tile bodies -------------------------------
+# Same head-packing scheme as the forward (g = 128/d0 heads per lane
+# block, block-diagonal K/V expansion); consumes the packed lse layout
+# the forward emits ((B*H/g, S_q, g*128), head h in lane segment
+# [h*128, (h+1)*128)).  Every construct is Mosaic-lowerable: offset-0 /
+# 128-aligned lane slices, lane+sublane concats, per-band row sums via
+# offset-0 PREFIX slices (band h = prefix(h+1) - prefix(h) — no
+# unaligned band slice needed).
+
+
+def _block_diag_kv(k_blk, v_blk, g, d0, block_k):
+    band = jax.lax.broadcasted_iota(jnp.int32, (block_k, g * d0), 1) // d0
+    kd = jnp.concatenate(
+        [jnp.where(band == h, k_blk, 0.0) for h in range(g)], axis=0)
+    vd = jnp.concatenate(
+        [jnp.where(band == h, v_blk, 0.0) for h in range(g)], axis=0)
+    return kd, vd
+
+
+def _band_row_sums(e, g, d0):
+    """Per-band row sums of ``e`` (rows, g*d0) -> list of (rows, 1)."""
+    sums, prev = [], None
+    for h in range(1, g + 1):
+        cur = jnp.sum(jax.lax.slice(e, (0, 0), (e.shape[0], h * d0)),
+                      axis=1, keepdims=True)
+        sums.append(cur if prev is None else cur - prev)
+        prev = cur
+    return sums
+
+
+def _bwd_tile_packed(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, *, qi,
+                     kj, masked, scale, block_q, block_k, diag_off, g, d0):
+    """Recompute packed P and dS for one (block_q, g*block_k) tile;
+    returns (p, ds, kd, vd)."""
+    kd, vd = _block_diag_kv(k_ref[0], v_ref[0], g, d0, block_k)
+    s = jax.lax.dot_general(
+        q_ref[0], kd, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (block_q, g*block_k)
+    if masked:
+        rows = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, g * block_k), 0)
+        cols = kj * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, g * block_k), 1) % block_k
+        s = jnp.where(cols <= rows + diag_off, s, _NEG_INF)
+    lse = lse_ref[0]  # (block_q, g*128)
+    lse_cols = jnp.concatenate(
+        [jnp.broadcast_to(
+            jax.lax.slice(lse, (0, h * 128),
+                          (block_q, (h + 1) * 128))[:, :1],
+            (block_q, block_k)) for h in range(g)], axis=1)
+    p = jnp.exp(s - lse_cols)   # masked entries: exp(-huge) == 0
+    dp = jax.lax.dot_general(
+        do_ref[0], vd, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    e = do_ref[0].astype(jnp.float32) * o_ref[0].astype(jnp.float32)
+    d_cols = jnp.concatenate(
+        [jnp.broadcast_to(dh, (block_q, block_k))
+         for dh in _band_row_sums(e, g, d0)], axis=1)
+    ds = p * (dp - d_cols) * scale
+    return p, ds, kd, vd
+
+
+def _bwd_dq_step_packed(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                        dq_ref, d_scr, dq_acc, *, qi, kj, first, last,
+                        masked_fn, scale, block_q, block_k, diag_off,
+                        g, d0):
+    del d_scr  # per-head D recomputes per tile (prefix sums, VPU-cheap)
+
+    @pl.when(first)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    def tile(masked):
+        _, ds, kd, _ = _bwd_tile_packed(
+            q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, qi=qi, kj=kj,
+            masked=masked, scale=scale, block_q=block_q, block_k=block_k,
+            diag_off=diag_off, g=g, d0=d0)
+        dq_acc[:] += jax.lax.dot_general(
+            ds.astype(k_ref.dtype), kd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    masked_fn(tile)
+
+    @pl.when(last)
+    def _finalize():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_step_packed(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                         dk_ref, dv_ref, dk_acc, dv_acc, *, qi, kj, first,
+                         last, masked_fn, scale, block_q, block_k,
+                         diag_off, g, d0):
+    """dk/dv accumulate in BLOCK-DIAGONAL layout ((g*block_k, 128)
+    scratch: segment h rows x band h lanes hold head h); the finalize
+    collapses segments back to the packed (block_k, 128) tile by masked
+    summation (the cross-band garbage the full-width matmul also
+    produced gets zeroed — those MACs are the same idle-lane trade as
+    the forward's zero halves)."""
+
+    @pl.when(first)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    def tile(masked):
+        p, ds, _, _ = _bwd_tile_packed(
+            q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, qi=qi, kj=kj,
+            masked=masked, scale=scale, block_q=block_q, block_k=block_k,
+            diag_off=diag_off, g=g, d0=d0)
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_acc[:] += jax.lax.dot_general(
+            ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    masked_fn(tile)
+
+    @pl.when(last)
+    def _finalize():
+        band = jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, g * d0), 1) // d0
+
+        def collapse(acc):
+            out = jnp.zeros((block_k, g * d0), jnp.float32)
+            for h in range(g):
+                seg = jax.lax.slice(
+                    acc[:], (h * block_k, 0),
+                    ((h + 1) * block_k, g * d0))
+                out = out + jnp.where(band == h, seg, 0.0)
+            return out
+
+        dk_ref[0] = collapse(dk_acc).astype(dk_ref.dtype)
+        dv_ref[0] = collapse(dv_acc).astype(dv_ref.dtype)
+
+
 def _bwd_dq_kernel_rect(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                         dq_ref, d_scr, dq_acc, *, scale, block_q, block_k,
-                        causal, diag_off):
+                        causal, diag_off, g=1, d0=0):
     qi, kj = pl.program_id(1), pl.program_id(2)
-    _bwd_dq_step(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref,
-                 d_scr, dq_acc, qi=qi, kj=kj, first=kj == 0,
-                 last=kj == pl.num_programs(2) - 1,
-                 masked_fn=_masked_dispatch(causal, qi, kj, block_q,
-                                            block_k, diag_off),
-                 scale=scale, block_q=block_q, block_k=block_k,
-                 diag_off=diag_off)
+    step = (_bwd_dq_step if g == 1 else functools.partial(
+        _bwd_dq_step_packed, g=g, d0=d0))
+    step(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref,
+         d_scr, dq_acc, qi=qi, kj=kj, first=kj == 0,
+         last=kj == pl.num_programs(2) - 1,
+         masked_fn=_masked_dispatch(causal, qi, kj, block_q,
+                                    block_k, diag_off),
+         scale=scale, block_q=block_q, block_k=block_k,
+         diag_off=diag_off)
 
 
 def _bwd_dq_kernel_walk(qi_ref, kj_ref, first_ref, last_ref,
                         q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                         dq_ref, d_scr, dq_acc, *, scale, block_q, block_k,
-                        diag_off):
+                        diag_off, g=1, d0=0):
     t = pl.program_id(1)
     qi, kj = qi_ref[t], kj_ref[t]
-    _bwd_dq_step(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref,
-                 d_scr, dq_acc, qi=qi, kj=kj, first=first_ref[t] == 1,
-                 last=last_ref[t] == 1,
-                 masked_fn=_masked_dispatch(True, qi, kj, block_q,
-                                            block_k, diag_off),
-                 scale=scale, block_q=block_q, block_k=block_k,
-                 diag_off=diag_off)
+    step = (_bwd_dq_step if g == 1 else functools.partial(
+        _bwd_dq_step_packed, g=g, d0=d0))
+    step(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref,
+         d_scr, dq_acc, qi=qi, kj=kj, first=first_ref[t] == 1,
+         last=last_ref[t] == 1,
+         masked_fn=_masked_dispatch(True, qi, kj, block_q,
+                                    block_k, diag_off),
+         scale=scale, block_q=block_q, block_k=block_k,
+         diag_off=diag_off)
 
 
 def _bwd_dkv_kernel_rect(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                          dk_ref, dv_ref, dk_acc, dv_acc, *, scale, block_q,
-                         block_k, causal, diag_off):
+                         block_k, causal, diag_off, g=1, d0=0):
     kj, qi = pl.program_id(1), pl.program_id(2)
-    _bwd_dkv_step(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                  dk_ref, dv_ref, dk_acc, dv_acc, qi=qi, kj=kj,
-                  first=qi == 0, last=qi == pl.num_programs(2) - 1,
-                  masked_fn=_masked_dispatch(causal, qi, kj, block_q,
-                                             block_k, diag_off),
-                  scale=scale, block_q=block_q, block_k=block_k,
-                  diag_off=diag_off)
+    step = (_bwd_dkv_step if g == 1 else functools.partial(
+        _bwd_dkv_step_packed, g=g, d0=d0))
+    step(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc, qi=qi, kj=kj,
+         first=qi == 0, last=qi == pl.num_programs(2) - 1,
+         masked_fn=_masked_dispatch(causal, qi, kj, block_q,
+                                    block_k, diag_off),
+         scale=scale, block_q=block_q, block_k=block_k,
+         diag_off=diag_off)
 
 
 def _bwd_dkv_kernel_walk(qi_ref, kj_ref, first_ref, last_ref,
                          q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                          dk_ref, dv_ref, dk_acc, dv_acc, *, scale, block_q,
-                         block_k, diag_off):
+                         block_k, diag_off, g=1, d0=0):
     t = pl.program_id(1)
     qi, kj = qi_ref[t], kj_ref[t]
-    _bwd_dkv_step(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                  dk_ref, dv_ref, dk_acc, dv_acc, qi=qi, kj=kj,
-                  first=first_ref[t] == 1, last=last_ref[t] == 1,
-                  masked_fn=_masked_dispatch(True, qi, kj, block_q,
-                                             block_k, diag_off),
-                  scale=scale, block_q=block_q, block_k=block_k,
-                  diag_off=diag_off)
+    step = (_bwd_dkv_step if g == 1 else functools.partial(
+        _bwd_dkv_step_packed, g=g, d0=d0))
+    step(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc, qi=qi, kj=kj,
+         first=first_ref[t] == 1, last=last_ref[t] == 1,
+         masked_fn=_masked_dispatch(True, qi, kj, block_q,
+                                    block_k, diag_off),
+         scale=scale, block_q=block_q, block_k=block_k,
+         diag_off=diag_off)
 
 
 def _walk_tables(tiles, outer_idx):
@@ -676,7 +826,10 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal: bool = False,
                         block_k: int = 1024, interpret: bool | None = None):
     """Flash attention backward: (dq, dk, dv) from the saved (o, lse).
 
-    ``lse`` is the forward residual in kernel layout (B*H, S_q, 128).
+    ``lse`` is the forward residual in kernel layout — (B*H, S_q, 128)
+    unpacked, or (B*H/g, S_q, g*128) from a head-PACKED forward (d in
+    {32, 64}; auto-detected from the lse width, and then q/k/v/o/do are
+    packed the same way and the packed bwd tile bodies run).
     Two pallas_calls (dq, then dk/dv) — each recomputes P tile-by-tile, so
     bwd HBM traffic stays O(S*D) like the forward."""
     b, h, sq, d = q.shape
@@ -693,6 +846,23 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal: bool = False,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     diag_off = sk - sq
+
+    g, d0, h_orig = 1, d, h
+    if lse.shape[-1] != 128:
+        g = lse.shape[-1] // 128
+        if g * d != 128 or h % g or lse.shape[0] * g != b * h:
+            raise ValueError(f"packed lse layout {lse.shape} inconsistent "
+                             f"with q {q.shape}")
+
+        def _pack(x, s):
+            return (x.reshape(b, h // g, g, s, d0)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(b, h // g, s, g * d0))
+
+        q, k, v = _pack(q, sq), _pack(k, sk), _pack(v, sk)
+        o, do = _pack(o, sq), _pack(do, sq)
+        h = h // g
+        d = g * d0
 
     q3 = q.reshape(b * h, sq, d)
     k3 = k.reshape(b * h, sk, d)
@@ -714,13 +884,15 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal: bool = False,
         ),
         interpret=interpret,
     )
-    fl = attention_flops(b, h, sq, sk, d, causal)
+    fl = attention_flops(b, h_orig, sq, sk, d0, causal)
     cost_dq = pl.CostEstimate(flops=3 * fl // 2, bytes_accessed=attention_bytes(
-        b, h, sq, sk, d, q.dtype.itemsize), transcendentals=b * h * sq * sk)
+        b, h_orig, sq, sk, d0, q.dtype.itemsize),
+        transcendentals=b * h_orig * sq * sk)
 
     q_spec = pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0))
     kv_spec = pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0))
-    lse_spec = pl.BlockSpec((1, block_q, 128), lambda bh, i, j: (bh, i, 0))
+    lse_spec = pl.BlockSpec((1, block_q, g * 128),
+                            lambda bh, i, j: (bh, i, 0))
 
     if compact:
         qi_a, kj_a, first_a, last_a = _walk_tables(tiles, 0)
@@ -728,12 +900,12 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal: bool = False,
                           lambda bh, t, qi, kj, fi, la: (bh, qi[t], 0))
         wkv = pl.BlockSpec((1, block_k, d),
                            lambda bh, t, qi, kj, fi, la: (bh, kj[t], 0))
-        wlse = pl.BlockSpec((1, block_q, 128),
+        wlse = pl.BlockSpec((1, block_q, g * 128),
                             lambda bh, t, qi, kj, fi, la: (bh, qi[t], 0))
         dq = pl.pallas_call(
             functools.partial(
                 _bwd_dq_kernel_walk, scale=float(scale), block_q=block_q,
-                block_k=block_k, diag_off=diag_off),
+                block_k=block_k, diag_off=diag_off, g=g, d0=d0),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=4,
                 grid=(b * h, len(tiles)),
@@ -752,15 +924,15 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal: bool = False,
         dk, dv = pl.pallas_call(
             functools.partial(
                 _bwd_dkv_kernel_walk, scale=float(scale), block_q=block_q,
-                block_k=block_k, diag_off=diag_off),
+                block_k=block_k, diag_off=diag_off, g=g, d0=d0),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=4,
                 grid=(b * h, len(tiles)),
                 in_specs=[wq, wkv, wkv, wq, wq, wlse],
                 out_specs=[wkv, wkv],
                 scratch_shapes=[
-                    pltpu.VMEM((block_k, d), jnp.float32),
-                    pltpu.VMEM((block_k, d), jnp.float32),
+                    pltpu.VMEM((g * block_k, d), jnp.float32),
+                    pltpu.VMEM((g * block_k, d), jnp.float32),
                 ]),
             out_shape=[jax.ShapeDtypeStruct((b * h, sk, d), k.dtype),
                        jax.ShapeDtypeStruct((b * h, sk, d), v.dtype)],
@@ -770,7 +942,8 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal: bool = False,
         dq = pl.pallas_call(
             functools.partial(
                 _bwd_dq_kernel_rect, scale=float(scale), block_q=block_q,
-                block_k=block_k, causal=causal, diag_off=diag_off),
+                block_k=block_k, causal=causal, diag_off=diag_off,
+                g=g, d0=d0),
             grid=(b * h, n_q, n_kv),
             in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec, lse_spec],
             out_specs=q_spec,
@@ -789,12 +962,13 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal: bool = False,
         # dkv grid: (bh, kv, q) — q innermost so dk/dv scratch persists
         qT_spec = pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0))
         kvT_spec = pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0))
-        lseT_spec = pl.BlockSpec((1, block_q, 128),
+        lseT_spec = pl.BlockSpec((1, block_q, g * 128),
                                  lambda bh, j, i: (bh, i, 0))
         dk, dv = pl.pallas_call(
             functools.partial(
                 _bwd_dkv_kernel_rect, scale=float(scale), block_q=block_q,
-                block_k=block_k, causal=causal, diag_off=diag_off),
+                block_k=block_k, causal=causal, diag_off=diag_off,
+                g=g, d0=d0),
             grid=(b * h, n_kv, n_q),
             in_specs=[qT_spec, kvT_spec, kvT_spec, qT_spec, qT_spec,
                       lseT_spec],
@@ -802,8 +976,8 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal: bool = False,
             out_shape=[jax.ShapeDtypeStruct((b * h, sk, d), k.dtype),
                        jax.ShapeDtypeStruct((b * h, sk, d), v.dtype)],
             scratch_shapes=[
-                pltpu.VMEM((block_k, d), jnp.float32),
-                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((g * block_k, d), jnp.float32),
+                pltpu.VMEM((g * block_k, d), jnp.float32),
             ],
             cost_estimate=cost_dq,
             compiler_params=pltpu.CompilerParams(
@@ -812,9 +986,14 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal: bool = False,
             interpret=interpret,
         )(q3, k3, v3, do3, o3, lse)
 
-    shape4 = (b, h, sq, d)
-    return (dq.reshape(shape4), dk.reshape(b, h, sk, d),
-            dv.reshape(b, h, sk, d))
+    def unpack(x, s):
+        x = x.reshape(b, h, s, d)
+        if g == 1:
+            return x
+        return (x.reshape(b, h, s, g, d0).transpose(0, 1, 3, 2, 4)
+                .reshape(b, h_orig, s, d0))
+
+    return unpack(dq, sq), unpack(dk, sk), unpack(dv, sk)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
