@@ -66,16 +66,23 @@ if [ -f /root/reference/et_replay/tests/inputs/linear_et.json.gz ]; then
     --max-ops 40 --cast bf16 --top 5
 fi
 
-echo "== pt-ET attention fusion what-if"
+echo "== pt-ET attention fusion what-if (fwd-only default + train mode)"
 python -m param_tpu.cli.pt_et \
   --trace tests/fixtures/transformer_long_et.json.gz \
   --max-ops 30 --fuse attention --top 5
+python -m param_tpu.cli.pt_et \
+  --trace tests/fixtures/transformer_train_et.json.gz \
+  --fuse attention-train --top 5
 
 echo "== fused attention bench"
 python -m param_tpu.cli.compute attention --shape 1,2,256,128 \
   --dtype float32 --paths xla,flash --chain 3 --reps 1
 python -m param_tpu.cli.compute attention --shape 1,2,256,128 \
   --dtype float32 --paths flash --grad --chain 2 --reps 1
+
+echo "== transformer-block train-step bench (flash_mha vs xla)"
+python -m param_tpu.cli.compute transformer --shape 1,128,128,2,256 \
+  --paths flash,xla --chain 2 --reps 1
 
 echo "== compute tier"
 python -m param_tpu.cli.compute gemm --shape 64,64,64 --chain 3 --reps 1
