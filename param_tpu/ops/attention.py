@@ -43,6 +43,26 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
+# ---- head-packing layout (single source of truth) -------------------------
+# For d0 in {32, 64}, g = 128 // d0 heads share one 128-lane block: head
+# hp*g + j of the original layout lives in lane band [j*d0, (j+1)*d0) of
+# packed head hp.  The packed forward's lse residual emits per-head
+# 128-wide lane SEGMENTS ((B*H/g, S, g*128)); flash_attention_bwd
+# auto-detects that width and repacks its operands with the same helpers.
+
+
+def _pack_heads(x, g, d0):
+    b, h, s, _ = x.shape
+    return (x.reshape(b, h // g, g, s, d0).transpose(0, 1, 3, 2, 4)
+            .reshape(b, h // g, s, g * d0))
+
+
+def _unpack_heads(x, g, d0):
+    b, hp, s, _ = x.shape
+    return (x.reshape(b, hp, s, g, d0).transpose(0, 1, 3, 2, 4)
+            .reshape(b, hp * g, s, d0))
+
+
 def attention_flops(b: int, h: int, sq: int, sk: int, d: int,
                     causal: bool = False) -> int:
     """MXU flops for one attention forward: QK^T and PV, 2*S_q*S_k*D each.
@@ -153,14 +173,7 @@ def _online_softmax_tile_packed(q_ref, k_ref, v_ref, m_ref, l_ref, acc_ref,
     at d0 < 128 anyway — this trades idle lanes for full-width PV and
     128-lane-aligned VMEM tiles (measured d0=64: 13.3% of roofline
     unpacked)."""
-    dp = g * d0  # = 128
-    k = k_ref[0]
-    v = v_ref[0]
-    band = jax.lax.broadcasted_iota(jnp.int32, (block_k, dp), 1) // d0
-    kd = jnp.concatenate(
-        [jnp.where(band == h, k, 0.0) for h in range(g)], axis=0)
-    vd = jnp.concatenate(
-        [jnp.where(band == h, v, 0.0) for h in range(g)], axis=0)
+    kd, vd = _block_diag_kv(k_ref[0], v_ref[0], g, d0, block_k)
     s = jax.lax.dot_general(
         q_ref[0], kd, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -363,13 +376,7 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k,
     if pack_heads and packable:
         g = 128 // d
         h = h // g
-
-        def _pack(x, s):
-            return (x.reshape(b, h, g, s, d0)
-                    .transpose(0, 1, 3, 2, 4)
-                    .reshape(b, h, s, g * d0))
-
-        q, k, v = _pack(q, sq), _pack(k, sk), _pack(v, sk)
+        q, k, v = (_pack_heads(t, g, d0) for t in (q, k, v))
         d = g * d0
 
     q3 = q.reshape(b * h, sq, d)
@@ -395,10 +402,7 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k,
 
     def unpack(o):
         o = o.reshape(b, h, sq, d)
-        if g == 1:
-            return o
-        return (o.reshape(b, h, sq, g, d0).transpose(0, 1, 3, 2, 4)
-                .reshape(b, h_orig, sq, d0))
+        return o if g == 1 else _unpack_heads(o, g, d0)
 
     out_shape = jax.ShapeDtypeStruct((b * h, sq, d), q.dtype)
     if return_lse:
@@ -854,13 +858,7 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal: bool = False,
             raise ValueError(f"packed lse layout {lse.shape} inconsistent "
                              f"with q {q.shape}")
 
-        def _pack(x, s):
-            return (x.reshape(b, h // g, g, s, d0)
-                    .transpose(0, 1, 3, 2, 4)
-                    .reshape(b, h // g, s, g * d0))
-
-        q, k, v = _pack(q, sq), _pack(k, sk), _pack(v, sk)
-        o, do = _pack(o, sq), _pack(do, sq)
+        q, k, v, o, do = (_pack_heads(t, g, d0) for t in (q, k, v, o, do))
         h = h // g
         d = g * d0
 
@@ -988,10 +986,7 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal: bool = False,
 
     def unpack(x, s):
         x = x.reshape(b, h, s, d)
-        if g == 1:
-            return x
-        return (x.reshape(b, h, s, g, d0).transpose(0, 1, 3, 2, 4)
-                .reshape(b, h_orig, s, d0))
+        return x if g == 1 else _unpack_heads(x, g, d0)
 
     return unpack(dq, sq), unpack(dk, sk), unpack(dv, sk)
 

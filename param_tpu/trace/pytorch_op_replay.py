@@ -1395,7 +1395,15 @@ class PyTorchOpReplay:
             # re-materialize a fresh blob per op)
             return self.registry[key]
         self._cur_shape = [int(d) for d in shape]
+        # Surrogate shrinking applies only to FLOAT blobs (weight /
+        # momentum slabs) on their FIRST materialization: indices and
+        # offsets must keep the recorded count (the shrunk lookup wraps
+        # them mod rows, so the op's output shape is unchanged), and a
+        # key some earlier op already materialized at full size must stay
+        # full for those consumers.
         if (shrinkable and self.max_tensor_bytes
+                and key not in self.registry
+                and "float" in (type_token or "").lower()
                 and self._cur_shape
                 and int(np.prod(self._cur_shape)) * 4 > self.max_tensor_bytes):
             orig = tuple(self._cur_shape)
