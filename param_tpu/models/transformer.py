@@ -1,0 +1,175 @@
+"""Pre-LN transformer block as a first-class model family.
+
+The reference's transformer coverage is shape-level only — the
+``llama2.json`` GEMM configs under ``train/compute/python`` and the
+hf_GPT2 ET fixture its replayer ingests.  This module gives the TPU
+build a real runnable counterpart: a pre-LN block (QKV projection, MHA,
+output projection, gelu FFN) with
+
+- single-chip train/forward paths whose attention routes through
+  :func:`param_tpu.ops.attention.flash_mha` (Pallas kernels in both
+  directions; 'xla' = the unfused oracle as the A/B),
+- Megatron-style multi-chip sharding over a ``(dp, tp)`` mesh expressed
+  as ``NamedSharding`` annotations: QKV and FFN-in column-sharded over
+  tp (heads split across chips — attention is embarrassingly parallel
+  in H), output/FFN-out row-sharded, batch sharded over dp.  XLA
+  inserts the tp all-reduces and the dp gradient psum from the
+  shardings — the compiler-inserted style complementing the explicit
+  shard_map programs of the DLRM model (models/dlrm.py).
+
+Used by ``cli.compute transformer`` (ops/compute_bench.bench_transformer)
+and by dryrun path 9 (__graft_entry__), which jits one sharded train
+step on an n-device mesh.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    batch: int
+    seq: int
+    emb: int
+    heads: int
+    ffn: int
+    causal: bool = True
+    attention: str = "flash"  # flash | xla
+    dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        assert self.emb % self.heads == 0, (self.emb, self.heads)
+        return self.emb // self.heads
+
+
+def init_params(key, cfg: TransformerConfig) -> Dict:
+    dt = jnp.dtype(cfg.dtype)
+    e, ff = cfg.emb, cfg.ffn
+    ks = jax.random.split(key, 4)
+
+    def w(k, din, dout):
+        return (jax.random.normal(k, (din, dout), jnp.float32)
+                / math.sqrt(din)).astype(dt)
+
+    return {
+        "ln1": (jnp.ones((e,), dt), jnp.zeros((e,), dt)),
+        "wqkv": w(ks[0], e, 3 * e),
+        "wo": w(ks[1], e, e),
+        "ln2": (jnp.ones((e,), dt), jnp.zeros((e,), dt)),
+        "w1": w(ks[2], e, ff),
+        "w2": w(ks[3], ff, e),
+    }
+
+
+def _ln(x, gamma, beta):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype) \
+        * gamma + beta
+
+
+def block_apply(params: Dict, x, cfg: TransformerConfig):
+    """One pre-LN block: x + MHA(LN(x)), then x + FFN(LN(x))."""
+    from param_tpu.ops.attention import flash_mha, mha_reference
+
+    b, s, e = x.shape
+    h, d = cfg.heads, cfg.head_dim
+    hx = _ln(x, *params["ln1"])
+    q, k, v = jnp.split(hx @ params["wqkv"], 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    if cfg.attention == "flash":
+        a = flash_mha(heads(q), heads(k), heads(v), cfg.causal, None)
+    else:
+        a = mha_reference(heads(q), heads(k), heads(v), causal=cfg.causal)
+    x = x + a.transpose(0, 2, 1, 3).reshape(b, s, e) @ params["wo"]
+    h2 = _ln(x, *params["ln2"])
+    return x + jax.nn.gelu(h2 @ params["w1"]) @ params["w2"]
+
+
+def make_train_step(cfg: TransformerConfig, lr: float = 1e-4):
+    """(params, x) -> (params', loss): fwd + bwd + SGD as one jittable fn
+    (loss = mean(out^2) — the bench objective; swap per workload)."""
+
+    def step(params, x):
+        def loss_fn(p):
+            return jnp.mean(jnp.square(
+                block_apply(p, x, cfg).astype(jnp.float32)))
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        params = jax.tree.map(
+            lambda w, gw: (w.astype(jnp.float32)
+                           - lr * gw.astype(jnp.float32)).astype(w.dtype),
+            params, g)
+        return params, loss
+
+    return step
+
+
+# --------------------------------------------------------------- sharding
+
+def param_specs(cfg: TransformerConfig) -> Dict:
+    """Megatron tensor-parallel PartitionSpecs over mesh axes
+    ('dp', 'tp'): QKV / FFN-in column-sharded (the tp axis splits heads
+    and ffn lanes), output / FFN-out row-sharded, LN replicated."""
+    del cfg
+    return {
+        "ln1": (P(), P()),
+        "wqkv": P(None, "tp"),
+        "wo": P("tp", None),
+        "ln2": (P(), P()),
+        "w1": P(None, "tp"),
+        "w2": P("tp", None),
+    }
+
+
+def place(params: Dict, x, mesh: Mesh, cfg: TransformerConfig):
+    """Shard params per :func:`param_specs` and the batch over dp."""
+    specs = param_specs(cfg)
+    params = jax.tree.map(
+        lambda t, s: jax.device_put(t, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda t: isinstance(t, (jnp.ndarray, np.ndarray)))
+    x = jax.device_put(x, NamedSharding(mesh, P("dp", None, None)))
+    return params, x
+
+
+def make_sharded_train_step(mesh: Mesh, cfg: TransformerConfig,
+                            lr: float = 1e-4):
+    """jit(step) with sharding constraints: XLA inserts the tp
+    collectives (all-reduce after wo / w2 row-sharded matmuls) and the
+    dp gradient reduction from the NamedSharding annotations.
+
+    NOTE: under compiler-inserted sharding the attention path is the
+    XLA oracle — the tp axis splits H, which XLA handles natively; the
+    shard_map + flash-kernel composition is dryrun path 8 /
+    tests/test_attention.py::test_flash_sharded_over_heads."""
+    cfg_x = TransformerConfig(**{**cfg.__dict__, "attention": "xla"})
+    step = make_train_step(cfg_x, lr=lr)
+    specs = param_specs(cfg)
+    out_shardings = (
+        jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                     is_leaf=lambda t: isinstance(t, P)),
+        NamedSharding(mesh, P()),
+    )
+    return jax.jit(
+        step,
+        in_shardings=(
+            jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                         is_leaf=lambda t: isinstance(t, P)),
+            NamedSharding(mesh, P("dp", None, None)),
+        ),
+        out_shardings=out_shardings,
+    )

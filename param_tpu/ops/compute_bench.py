@@ -467,77 +467,30 @@ def bench_transformer(
     paths: 'flash' routes attention through flash_mha (Pallas kernels in
     both directions — O(S*D) attention HBM traffic); 'xla' through the
     unfused oracle (what the recorded PyTorch op stream pays).  TF/s from
-    transformer_block_flops, roofline vs the chip MXU peak."""
-    from param_tpu.ops.attention import flash_mha, mha_reference
+    transformer_block_flops, roofline vs the chip MXU peak.  Model code:
+    models/transformer.py (init_params / block_apply / make_train_step)."""
+    from param_tpu.models.transformer import (
+        TransformerConfig, block_apply, init_params, make_train_step)
 
-    dt = dtype_from_name(dtype)
     chip = detect_chip()
     peak = matmul_roofline_tflops(chip, dtype)
     paths = paths or ["flash", "xla"]
     results = []
     for b, s, e, h, ff in shapes:
-        d = e // h
-        assert h * d == e, (e, h)
         rng = np.random.default_rng(0)
-
-        def _w(*shape, scale=None):
-            scale = scale or (1.0 / np.sqrt(shape[0]))
-            return (jnp.asarray(
-                rng.standard_normal(shape, dtype=np.float32)) * scale
-            ).astype(dt)
-
-        params = {
-            "ln1": (jnp.ones((e,), dt), jnp.zeros((e,), dt)),
-            "wqkv": _w(e, 3 * e),
-            "wo": _w(e, e),
-            "ln2": (jnp.ones((e,), dt), jnp.zeros((e,), dt)),
-            "w1": _w(e, ff),
-            "w2": _w(ff, e),
-        }
         x0 = (jnp.asarray(
             rng.standard_normal((b, s, e), dtype=np.float32)) * 0.1
-        ).astype(dt)
-
-        def _ln(x, g, bi):
-            xf = x.astype(jnp.float32)
-            mu = jnp.mean(xf, axis=-1, keepdims=True)
-            var = jnp.var(xf, axis=-1, keepdims=True)
-            return ((xf - mu) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype) \
-                * g + bi
+        ).astype(dtype_from_name(dtype))
 
         for path in paths:
-            def block(p, x, path=path):
-                hx = _ln(x, *p["ln1"])
-                qkv = hx @ p["wqkv"]  # (B, S, 3E)
-                q, k, v = jnp.split(qkv, 3, axis=-1)
-
-                def heads(t):
-                    return t.reshape(b, s, h, d).transpose(0, 2, 1, 3)
-
-                if path == "flash":
-                    a = flash_mha(heads(q), heads(k), heads(v), causal, None)
-                else:
-                    a = mha_reference(heads(q), heads(k), heads(v),
-                                      causal=causal)
-                a = a.transpose(0, 2, 1, 3).reshape(b, s, e)
-                x = x + a @ p["wo"]
-                h2 = _ln(x, *p["ln2"])
-                return x + jax.nn.gelu(h2 @ p["w1"]) @ p["w2"]
-
-            def train_step(p, x):
-                def loss_fn(p):
-                    return jnp.mean(jnp.square(
-                        block(p, x).astype(jnp.float32)))
-
-                loss, g = jax.value_and_grad(loss_fn)(p)
-                p = jax.tree.map(
-                    lambda w, gw: (w.astype(jnp.float32)
-                                   - lr * gw.astype(jnp.float32)
-                                   ).astype(w.dtype), p, g)
-                return p, loss
+            cfg = TransformerConfig(batch=b, seq=s, emb=e, heads=h,
+                                    ffn=ff, causal=causal,
+                                    attention=path, dtype=dtype)
+            params = init_params(jax.random.PRNGKey(0), cfg)
+            train_step = make_train_step(cfg, lr=lr)
 
             @functools.partial(jax.jit, static_argnames="nn")
-            def chain(p, x, nn):
+            def chain(p, x, nn, train_step=train_step, cfg=cfg):
                 def step(carry, i):
                     p, acc = carry
                     xi = x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
@@ -545,7 +498,7 @@ def bench_transformer(
                         p, loss = train_step(p, xi)
                     else:
                         loss = jnp.mean(jnp.square(
-                            block(p, xi).astype(jnp.float32)))
+                            block_apply(p, xi, cfg).astype(jnp.float32)))
                     return (p, acc + loss), None
 
                 (p, acc), _ = lax.scan(step, (p, jnp.float32(0)),
