@@ -173,3 +173,94 @@ def make_sharded_train_step(mesh: Mesh, cfg: TransformerConfig,
         ),
         out_shardings=out_shardings,
     )
+
+
+# ------------------------------------------------------ pipeline parallel
+
+def init_stacked_params(key, cfg: TransformerConfig, n_stages: int) -> Dict:
+    """Per-stage block params stacked on a leading stage axis (the leaf
+    layout ``shard_map`` slices over the 'pp' mesh axis)."""
+    ks = jax.random.split(key, n_stages)
+    per = [init_params(k, cfg) for k in ks]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+
+
+def make_pipeline_train_step(mesh: Mesh, cfg: TransformerConfig,
+                             n_microbatches: int, lr: float = 1e-4,
+                             axis: str = "pp"):
+    """GPipe-style pipeline-parallel train step over mesh axis ``axis``.
+
+    Each device owns ONE transformer block (a pipeline stage).  The
+    forward runs the classic fill/drain schedule as a ``lax.scan`` over
+    ``M + S - 1`` ticks: every tick each stage applies its block to the
+    activation it holds, then the activations rotate one stage forward
+    with ``lax.ppermute``; stage 0 injects a fresh microbatch while
+    filling, the last stage accumulates the loss while draining
+    (the scaling-book collective-pipeline recipe — compute at every
+    tick, one hop of ICI traffic per tick).  ``jax.grad`` through the
+    scan+ppermute yields the reverse pipeline automatically (ppermute
+    transposes to the inverse rotation), so the backward drains in the
+    opposite direction with the same wire pattern — no hand-written
+    schedule.
+
+    Input x: (M * mb, S_seq, E) replicated; returns (stacked_params',
+    mean loss).  Microbatch slicing is static (M = n_microbatches).
+    Reference analogue: none — PARAM measures comm patterns; this IS the
+    pp pattern, runnable and differentiable."""
+    from jax import lax
+
+    n_stages = mesh.shape[axis]
+    M = n_microbatches
+
+    def stage_step(params_slab, x):
+        # params_slab leaves: (1, ...) — this stage's block params
+        params = jax.tree.map(lambda t: t[0], params_slab)
+        stage = lax.axis_index(axis)
+        mb = x.shape[0] // M
+        xm = x.reshape(M, mb, *x.shape[1:])
+
+        def loss_fn(params):
+            def tick(carry, t):
+                state, loss = carry
+                fresh = lax.dynamic_index_in_dim(
+                    xm, jnp.clip(t, 0, M - 1), axis=0, keepdims=False)
+                state = jnp.where(
+                    jnp.logical_and(stage == 0, t < M), fresh, state)
+                state = block_apply(params, state, cfg)
+                out_valid = jnp.logical_and(stage == n_stages - 1,
+                                            t >= n_stages - 1)
+                loss = loss + jnp.where(
+                    out_valid,
+                    jnp.mean(jnp.square(state.astype(jnp.float32))), 0.0)
+                state = lax.ppermute(
+                    state, axis,
+                    perm=[(i, (i + 1) % n_stages)
+                          for i in range(n_stages)])
+                return (state, loss), None
+
+            state0 = jnp.zeros((mb, *x.shape[1:]), x.dtype)
+            (_, loss), _ = lax.scan(
+                tick, (state0, jnp.float32(0)),
+                jnp.arange(M + n_stages - 1))
+            # differentiate the LOCAL loss (nonzero on the last stage
+            # only) — earlier stages receive their cotangents through
+            # the ppermute transposes.  A psum here would scale every
+            # grad by n_stages: under check_vma=False the transpose of
+            # psum inserts another psum instead of the identity.
+            return loss / M
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        loss = lax.psum(loss, axis)  # replicate the value for reporting
+        params = jax.tree.map(
+            lambda w, gw: (w.astype(jnp.float32)
+                           - lr * gw.astype(jnp.float32)).astype(w.dtype),
+            params, g)
+        return jax.tree.map(lambda t: t[None], params), loss
+
+    pspec = jax.tree.map(lambda _: P(axis), param_specs(cfg),
+                         is_leaf=lambda t: isinstance(t, P))
+    return jax.jit(jax.shard_map(
+        stage_step, mesh=mesh,
+        in_specs=(pspec, P()),
+        out_specs=(pspec, P()),
+        check_vma=False))

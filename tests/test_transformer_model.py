@@ -70,3 +70,50 @@ def test_sharded_step_matches_unsharded(dp, tp):
         np.testing.assert_allclose(
             np.asarray(got_p[ka]), np.asarray(want_p[ka]),
             atol=1e-5, rtol=1e-5)
+
+
+class TestPipelineParallel:
+    """GPipe fill/drain over mesh axis 'pp' (models/transformer.py
+    make_pipeline_train_step): loss and per-stage SGD updates must match
+    the SEQUENTIAL multi-block oracle exactly — forward schedule,
+    autodiff'd reverse pipeline, and the psum loss broadcast all checked
+    by one number."""
+
+    @pytest.mark.parametrize("n_stages,m", [(4, 4), (8, 2), (4, 8)])
+    def test_matches_sequential(self, n_stages, m):
+        cfg = _cfg(batch=m * 2, seq=64, emb=64, heads=2, ffn=128,
+                   attention="xla")
+        from param_tpu.models.transformer import (
+            init_stacked_params, make_pipeline_train_step)
+
+        key = jax.random.PRNGKey(7)
+        stacked = init_stacked_params(key, cfg, n_stages)
+        x = (jax.random.normal(jax.random.fold_in(key, 1),
+                               (cfg.batch, cfg.seq, cfg.emb), jnp.float32)
+             * 0.1)
+
+        # sequential oracle: blocks applied in stage order, mean-square
+        # loss, SGD on every stage's params
+        def seq_loss(stacked):
+            out = x
+            for i in range(n_stages):
+                p = jax.tree.map(lambda t: t[i], stacked)
+                out = block_apply(p, out, cfg)
+            return jnp.mean(jnp.square(out.astype(jnp.float32)))
+
+        want_loss, want_g = jax.value_and_grad(seq_loss)(stacked)
+        want_p = jax.tree.map(
+            lambda w, gw: w - 1e-4 * gw, stacked, want_g)
+
+        mesh = Mesh(np.array(jax.devices()[:n_stages]), ("pp",))
+        step = make_pipeline_train_step(mesh, cfg, n_microbatches=m,
+                                        lr=1e-4)
+        got_p, got_loss = step(stacked, x)
+        assert float(got_loss) == pytest.approx(float(want_loss),
+                                                rel=1e-5)
+        np.testing.assert_allclose(np.asarray(got_p["wqkv"]),
+                                   np.asarray(want_p["wqkv"]),
+                                   atol=1e-6, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_p["w2"]),
+                                   np.asarray(want_p["w2"]),
+                                   atol=1e-6, rtol=1e-5)
