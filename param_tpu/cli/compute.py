@@ -82,6 +82,17 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--chain", type=int, default=16)
     a.add_argument("--reps", type=int, default=2)
 
+    dec = sub.add_parser("decode", help="serving decode step: one query "
+                         "token vs a (B,H,S,D) KV cache; GB/s of KV "
+                         "traffic vs the HBM roofline")
+    dec.add_argument("--dataset", default="llama2",
+                     choices=["llama2", "gpt2"])
+    dec.add_argument("--shape", default=None,
+                     help="explicit batch,heads,kvlen,headdim")
+    dec.add_argument("--dtype", default="bfloat16")
+    dec.add_argument("--chain", type=int, default=16)
+    dec.add_argument("--reps", type=int, default=2)
+
     t = sub.add_parser("transformer", help="pre-LN transformer-block "
                        "train-step bench (flash_mha vs unfused XLA "
                        "attention; GPT2/llama2 dims)")
@@ -158,6 +169,17 @@ def main(argv=None) -> int:
         results = bench_emb(
             configs, dtype=ns.dtype, n_hi=ns.chain, reps=ns.reps,
             distribution=ns.distribution, max_rows=ns.max_rows or None,
+        )
+    elif ns.cmd == "decode":
+        from param_tpu.ops.compute_bench import bench_decode_attention
+
+        configs = (
+            [tuple(int(x) for x in ns.shape.split(","))]
+            if ns.shape
+            else datasets.DECODE_DATASETS[ns.dataset]
+        )
+        results = bench_decode_attention(
+            configs, dtype=ns.dtype, n_hi=ns.chain, reps=ns.reps,
         )
     elif ns.cmd == "transformer":
         from param_tpu.ops.compute_bench import bench_transformer

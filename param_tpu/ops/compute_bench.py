@@ -430,6 +430,64 @@ def bench_attention(
     return results
 
 
+# ------------------------------------------------------- decode attention
+def bench_decode_attention(
+    shapes: List[tuple],
+    dtype: str = "bfloat16",
+    n_hi: int = 16,
+    reps: int = 2,
+) -> List[ComputeResult]:
+    """Serving-tier decode step: one query token against a (B, H, S, D)
+    KV cache — the memory-bound half of inference (the prefill half is
+    the flash tier).  The whole op is a KV-cache stream: the metric is
+    GB/s of K+V traffic vs the HBM roofline, the same convention as the
+    EmbeddingBag rows.  Shapes are (batch, heads, kv_len, head_dim).
+
+    Uses the XLA unfused path — at S_q=1 the 'matmuls' are
+    matrix-vector products the MXU can't help with; XLA's fused
+    softmax-weighted reduction is the right tool, and measuring it
+    calibrates what a Pallas decode kernel would have to beat."""
+    from param_tpu.ops.attention import mha_reference
+
+    dt = dtype_from_name(dtype)
+    chip = detect_chip()
+    hbm = getattr(chip, "hbm_gbs", 0.0) or 0.0
+    results = []
+    for b, h, s, d in shapes:
+        r = np.random.default_rng(0)
+        q = (jnp.asarray(r.standard_normal((b, h, 1, d),
+                                           dtype=np.float32)) * 0.1).astype(dt)
+        k = (jnp.asarray(r.standard_normal((b, h, s, d),
+                                           dtype=np.float32)) * 0.1).astype(dt)
+        v = (jnp.asarray(r.standard_normal((b, h, s, d),
+                                           dtype=np.float32)) * 0.1).astype(dt)
+
+        @functools.partial(jax.jit, static_argnames="nn")
+        def chain(q, k, v, nn):
+            def step(st, i):
+                qi = q + i.astype(q.dtype) * jnp.asarray(1e-6, q.dtype)
+                o = mha_reference(qi, k, v)  # S_q=1: full-prefix attend
+                return st + jnp.sum(o.astype(jnp.float32)), None
+
+            st, _ = lax.scan(step, jnp.float32(0), jnp.arange(nn))
+            return st
+
+        try:
+            per = measure_chain(lambda nn: chain(q, k, v, nn=nn),
+                                n_lo=1, n_hi=n_hi, reps=reps)
+        except Exception:
+            log.exception("decode %s failed", (b, h, s, d))
+            continue
+        kv_bytes = 2 * b * h * s * d * jnp.dtype(dt).itemsize
+        gbs = kv_bytes / per / 1e9
+        results.append(_report(ComputeResult(
+            op="decode", shape=(b, h, s, d), lat_us=per * 1e6, gbs=gbs,
+            qps=b / per,
+            roofline_frac=gbs / hbm if hbm else 0.0,
+        ), dtype))
+    return results
+
+
 # ------------------------------------------------------- transformer block
 def transformer_block_flops(b: int, s: int, e: int, h: int, ff: int,
                             causal: bool = True, grad: bool = True) -> int:

@@ -74,6 +74,13 @@ GEMM_DATASETS = {"A": GEMM_A, "B": GEMM_B, "C": GEMM_C}
 ATTN_DATASETS = {"gpt2": ATTN_GPT2, "llama2": ATTN_LLAMA2}
 EMB_DATASETS = {"A": EMB_A, "B": EMB_B, "baseline": EMB_BASELINE}
 MLP_DATASETS = {"A": MLP_A}
+# decode tuple (batch, heads, kv_len, head_dim) — serving decode step
+# (one query token vs the KV cache; memory-bound, GB/s metric)
+DECODE_LLAMA2 = [(1, 32, 2048, 128), (8, 32, 2048, 128),
+                 (32, 32, 2048, 128), (8, 32, 8192, 128)]
+DECODE_GPT2 = [(8, 12, 1024, 64), (64, 12, 1024, 64)]
+DECODE_DATASETS = {"llama2": DECODE_LLAMA2, "gpt2": DECODE_GPT2}
+
 TRANSFORMER_DATASETS = {
     "gpt2": TRANSFORMER_GPT2,
     "gpt2-medium": TRANSFORMER_GPT2_MEDIUM,

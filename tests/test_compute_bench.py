@@ -123,3 +123,12 @@ class TestTransformerBlock:
         rows = bench_transformer([(1, 128, 128, 2, 256)], n_hi=2, reps=1,
                                  paths=["flash"], grad=False)
         assert rows[0].op == "tf-fwd:flash"
+
+
+class TestDecodeAttention:
+    def test_rows_and_bytes_model(self):
+        from param_tpu.ops.compute_bench import bench_decode_attention
+
+        rows = bench_decode_attention([(2, 4, 512, 64)], n_hi=2, reps=1)
+        assert rows[0].op == "decode"
+        assert rows[0].gbs > 0 and rows[0].lat_us > 0
