@@ -86,9 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "token vs a (B,H,S,D) KV cache; GB/s of KV "
                          "traffic vs the HBM roofline")
     dec.add_argument("--dataset", default="llama2",
-                     choices=["llama2", "gpt2"])
+                     choices=["llama2", "gpt2", "llama3-gqa"])
     dec.add_argument("--shape", default=None,
-                     help="explicit batch,heads,kvlen,headdim")
+                     help="explicit batch,heads,kvlen,headdim (or "
+                          "batch,heads,kvheads,kvlen,headdim for GQA)")
     dec.add_argument("--dtype", default="bfloat16")
     dec.add_argument("--chain", type=int, default=16)
     dec.add_argument("--reps", type=int, default=2)

@@ -93,9 +93,16 @@ def mha_reference(q, k, v, *, causal: bool = False, scale: float | None = None):
 
     Matches the op sequence a PyTorch trace records (matmul, scale, mask,
     softmax, matmul); XLA materializes the (S_q, S_k) scores in HBM for
-    large S, which is exactly the traffic the flash kernel removes."""
+    large S, which is exactly the traffic the flash kernel removes.
+
+    GQA (k/v heads < q heads, llama-3 style) broadcasts each kv head
+    over its query group."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    if k.shape[1] != q.shape[1]:
+        group = q.shape[1] // k.shape[1]
+        k = jnp.repeat(k, group, axis=1)
+        v = jnp.repeat(v, group, axis=1)
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * scale
     if causal:
@@ -347,7 +354,7 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k,
     logsumexp residual in the kernel-native layout ``(B*H, S_q, 128)``
     (value broadcast across the 128 lanes) for the backward kernels."""
     b, h, sq, d = q.shape
-    _, _, sk, _ = k.shape
+    _, h_kv, sk, _ = k.shape
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     block_q = min(block_q, sq)
@@ -355,6 +362,8 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k,
     if sq % block_q or sk % block_k:
         raise ValueError(f"seq ({sq},{sk}) must divide blocks "
                          f"({block_q},{block_k})")
+    if h % h_kv:
+        raise ValueError(f"q heads {h} must divide by kv heads {h_kv}")
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 
@@ -369,8 +378,10 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k,
     # return_lse the residual comes back in the PACKED layout
     # (B*H/g, S_q, g*128) — head h of a pack in lane segment
     # [h*128, (h+1)*128) — which flash_attention_bwd auto-detects.
+    # GQA (h_kv < h) keeps the unpacked layout: a q-head pack could
+    # straddle two kv heads.
     g, d0, h_orig = 1, d, h
-    packable = d in (32, 64) and h % (128 // d) == 0
+    packable = (h_kv == h and d in (32, 64) and h % (128 // d) == 0)
     if pack_heads is None:
         pack_heads = packable
     if pack_heads and packable:
@@ -380,8 +391,15 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k,
         d = g * d0
 
     q3 = q.reshape(b * h, sq, d)
-    k3 = k.reshape(b * h, sk, d)
-    v3 = v.reshape(b * h, sk, d)
+    k3 = k.reshape(b * (h_kv if g == 1 else h), sk, d)
+    v3 = v.reshape(b * (h_kv if g == 1 else h), sk, d)
+    # GQA: the kv BlockSpec index maps fold the query head onto its kv
+    # head — kv_row(bh) = batch * h_kv + (head // group); no repetition
+    # of K/V ever materializes
+    group = h // h_kv if g == 1 else 1
+
+    def kvrow(bh):
+        return (bh // h) * (h_kv if g == 1 else h) + (bh % h) // group
     stat_shape = ((block_q, 128) if g == 1 else (g, block_q, 128))
     scratch = [
         pltpu.VMEM(stat_shape, jnp.float32),      # running max
@@ -438,9 +456,11 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k,
                 pl.BlockSpec((1, block_q, d),
                              lambda bh, t, qi, kj, lf: (bh, qi[t], 0)),
                 pl.BlockSpec((1, block_k, d),
-                             lambda bh, t, qi, kj, lf: (bh, kj[t], 0)),
+                             lambda bh, t, qi, kj, lf: (kvrow(bh),
+                                                        kj[t], 0)),
                 pl.BlockSpec((1, block_k, d),
-                             lambda bh, t, qi, kj, lf: (bh, kj[t], 0)),
+                             lambda bh, t, qi, kj, lf: (kvrow(bh),
+                                                        kj[t], 0)),
             ],
             out_specs=out_spec,
             scratch_shapes=scratch,
@@ -478,8 +498,10 @@ def _flash_forward(q, k, v, *, causal, scale, block_q, block_k,
         grid=(b * h, sq // block_q, sk // block_k),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, i, j: (kvrow(bh), j, 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, i, j: (kvrow(bh), j, 0)),
         ],
         out_specs=out_spec,
         out_shape=out_shape,

@@ -446,28 +446,44 @@ def bench_decode_attention(
     Uses the XLA unfused path — at S_q=1 the 'matmuls' are
     matrix-vector products the MXU can't help with; XLA's fused
     softmax-weighted reduction is the right tool, and measuring it
-    calibrates what a Pallas decode kernel would have to beat."""
-    from param_tpu.ops.attention import mha_reference
+    calibrates what a Pallas decode kernel would have to beat.
 
+    A 5-tuple shape (batch, heads, kv_heads, kv_len, head_dim) runs GQA
+    decode (llama-3 style): a grouped einsum streams each kv head ONCE
+    for its whole query group — the KV cache (and the measured traffic)
+    shrinks by heads/kv_heads."""
     dt = dtype_from_name(dtype)
     chip = detect_chip()
     hbm = getattr(chip, "hbm_gbs", 0.0) or 0.0
     results = []
-    for b, h, s, d in shapes:
+    for shape in shapes:
+        if len(shape) == 5:
+            b, h, h_kv, s, d = shape
+        else:
+            b, h, s, d = shape
+            h_kv = h
+        grp = h // h_kv
         r = np.random.default_rng(0)
-        q = (jnp.asarray(r.standard_normal((b, h, 1, d),
+        q = (jnp.asarray(r.standard_normal((b, h_kv, grp, d),
                                            dtype=np.float32)) * 0.1).astype(dt)
-        k = (jnp.asarray(r.standard_normal((b, h, s, d),
+        k = (jnp.asarray(r.standard_normal((b, h_kv, s, d),
                                            dtype=np.float32)) * 0.1).astype(dt)
-        v = (jnp.asarray(r.standard_normal((b, h, s, d),
+        v = (jnp.asarray(r.standard_normal((b, h_kv, s, d),
                                            dtype=np.float32)) * 0.1).astype(dt)
+        scale = 1.0 / float(np.sqrt(d))
+
+        def decode(q, k, v):
+            logits = jnp.einsum("bkgd,bksd->bkgs", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+            return jnp.einsum("bkgs,bksd->bkgd", p, v,
+                              preferred_element_type=jnp.float32)
 
         @functools.partial(jax.jit, static_argnames="nn")
         def chain(q, k, v, nn):
             def step(st, i):
                 qi = q + i.astype(q.dtype) * jnp.asarray(1e-6, q.dtype)
-                o = mha_reference(qi, k, v)  # S_q=1: full-prefix attend
-                return st + jnp.sum(o.astype(jnp.float32)), None
+                return st + jnp.sum(decode(qi, k, v)), None
 
             st, _ = lax.scan(step, jnp.float32(0), jnp.arange(nn))
             return st
@@ -476,12 +492,13 @@ def bench_decode_attention(
             per = measure_chain(lambda nn: chain(q, k, v, nn=nn),
                                 n_lo=1, n_hi=n_hi, reps=reps)
         except Exception:
-            log.exception("decode %s failed", (b, h, s, d))
+            log.exception("decode %s failed", shape)
             continue
-        kv_bytes = 2 * b * h * s * d * jnp.dtype(dt).itemsize
+        kv_bytes = 2 * b * h_kv * s * d * jnp.dtype(dt).itemsize
         gbs = kv_bytes / per / 1e9
         results.append(_report(ComputeResult(
-            op="decode", shape=(b, h, s, d), lat_us=per * 1e6, gbs=gbs,
+            op="decode" if h == h_kv else "decode-gqa",
+            shape=tuple(shape), lat_us=per * 1e6, gbs=gbs,
             qps=b / per,
             roofline_frac=gbs / hbm if hbm else 0.0,
         ), dtype))

@@ -79,7 +79,12 @@ MLP_DATASETS = {"A": MLP_A}
 DECODE_LLAMA2 = [(1, 32, 2048, 128), (8, 32, 2048, 128),
                  (32, 32, 2048, 128), (8, 32, 8192, 128)]
 DECODE_GPT2 = [(8, 12, 1024, 64), (64, 12, 1024, 64)]
-DECODE_DATASETS = {"llama2": DECODE_LLAMA2, "gpt2": DECODE_GPT2}
+# GQA 5-tuple (batch, heads, kv_heads, kv_len, head_dim): llama-3-8B is
+# 32 q heads over 8 kv heads — the cache (and traffic) shrinks 4x
+DECODE_LLAMA3 = [(8, 32, 8, 2048, 128), (32, 32, 8, 2048, 128),
+                 (8, 32, 8, 8192, 128)]
+DECODE_DATASETS = {"llama2": DECODE_LLAMA2, "gpt2": DECODE_GPT2,
+                   "llama3-gqa": DECODE_LLAMA3}
 
 TRANSFORMER_DATASETS = {
     "gpt2": TRANSFORMER_GPT2,

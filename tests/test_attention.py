@@ -263,3 +263,28 @@ def test_flash_mha_packed_grads():
     for a, b2 in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
                                    atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.parametrize("h,h_kv,d,causal", [
+    (8, 2, 128, True), (8, 2, 128, False), (4, 1, 128, True),
+    (8, 4, 64, True),  # GQA at d<128 must fall back to unpacked cleanly
+])
+def test_flash_gqa(h, h_kv, d, causal):
+    """Grouped-query attention: kv BlockSpec index maps fold each query
+    head onto its kv head — K/V are never repeated in memory."""
+    b, s = 1, 256
+    q = _rand((b, h, s, d), jnp.float32, 60) * 0.3
+    k = _rand((b, h_kv, s, d), jnp.float32, 61) * 0.3
+    v = _rand((b, h_kv, s, d), jnp.float32, 62) * 0.3
+    got = flash_attention(q, k, v, causal=causal, block_q=128,
+                          block_k=128)
+    want = mha_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_gqa_rejects_nondividing_heads():
+    q = _rand((1, 6, 128, 128), jnp.float32, 63)
+    kv = _rand((1, 4, 128, 128), jnp.float32, 64)
+    with pytest.raises(ValueError, match="kv heads"):
+        flash_attention(q, kv, kv)
