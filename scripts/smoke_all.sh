@@ -84,6 +84,10 @@ echo "== transformer-block train-step bench (flash_mha vs xla)"
 python -m param_tpu.cli.compute transformer --shape 1,128,128,2,256 \
   --paths flash,xla --chain 2 --reps 1
 
+echo "== serving decode bench (MHA + GQA)"
+python -m param_tpu.cli.compute decode --shape 2,4,512,64 --chain 2 --reps 1
+python -m param_tpu.cli.compute decode --shape 2,8,2,256,64 --chain 2 --reps 1
+
 echo "== compute tier"
 python -m param_tpu.cli.compute gemm --shape 64,64,64 --chain 3 --reps 1
 python -m param_tpu.cli.cvt --layer stage0.block0.conv_proj_q \
