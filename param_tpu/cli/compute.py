@@ -94,6 +94,17 @@ def build_parser() -> argparse.ArgumentParser:
     dec.add_argument("--chain", type=int, default=16)
     dec.add_argument("--reps", type=int, default=2)
 
+    srv = sub.add_parser("serve", help="whole-block decode step (cached "
+                         "attention + MLP at T=1): serving tokens/s vs "
+                         "the weight+KV streaming roofline")
+    srv.add_argument("--dataset", default="llama2",
+                     choices=["llama2", "gpt2"])
+    srv.add_argument("--shape", default=None,
+                     help="explicit batch,cachelen,emb,heads,ffn")
+    srv.add_argument("--dtype", default="bfloat16")
+    srv.add_argument("--chain", type=int, default=16)
+    srv.add_argument("--reps", type=int, default=2)
+
     t = sub.add_parser("transformer", help="pre-LN transformer-block "
                        "train-step bench (flash_mha vs unfused XLA "
                        "attention; GPT2/llama2 dims)")
@@ -180,6 +191,17 @@ def main(argv=None) -> int:
             else datasets.DECODE_DATASETS[ns.dataset]
         )
         results = bench_decode_attention(
+            configs, dtype=ns.dtype, n_hi=ns.chain, reps=ns.reps,
+        )
+    elif ns.cmd == "serve":
+        from param_tpu.ops.compute_bench import bench_block_decode
+
+        configs = (
+            [tuple(int(x) for x in ns.shape.split(","))]
+            if ns.shape
+            else datasets.SERVE_DATASETS[ns.dataset]
+        )
+        results = bench_block_decode(
             configs, dtype=ns.dtype, n_hi=ns.chain, reps=ns.reps,
         )
     elif ns.cmd == "transformer":

@@ -264,3 +264,69 @@ def make_pipeline_train_step(mesh: Mesh, cfg: TransformerConfig,
         in_specs=(pspec, P()),
         out_specs=(pspec, P()),
         check_vma=False))
+
+
+# --------------------------------------------------------- serving / cache
+
+def prefill(params: Dict, x, cfg: TransformerConfig, cache_len: int):
+    """Run the block over the prompt and return (out, cache): K/V heads
+    written into a static (B, H, cache_len, d) buffer (serving contract:
+    static shapes, one compile per cache geometry)."""
+    from param_tpu.ops.attention import flash_mha, mha_reference
+
+    b, s, e = x.shape
+    h, d = cfg.heads, cfg.head_dim
+    hx = _ln(x, *params["ln1"])
+    q, k, v = jnp.split(hx @ params["wqkv"], 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = heads(q), heads(k), heads(v)
+    if cfg.attention == "flash":
+        a = flash_mha(qh, kh, vh, cfg.causal, None)
+    else:
+        a = mha_reference(qh, kh, vh, causal=cfg.causal)
+    out = x + a.transpose(0, 2, 1, 3).reshape(b, s, e) @ params["wo"]
+    h2 = _ln(out, *params["ln2"])
+    out = out + jax.nn.gelu(h2 @ params["w1"]) @ params["w2"]
+
+    cache = {
+        "k": jnp.zeros((b, h, cache_len, d), x.dtype).at[:, :, :s].set(kh),
+        "v": jnp.zeros((b, h, cache_len, d), x.dtype).at[:, :, :s].set(vh),
+    }
+    return out, cache
+
+
+def decode_step(params: Dict, cache: Dict, x, pos, cfg: TransformerConfig):
+    """One cached decode step: x is (B, 1, E), ``pos`` the write position
+    (= tokens already in the cache).  Attends the query token against
+    cache[0..pos] with a static-shape position mask — the memory-bound
+    softmax-weighted KV reduction the decode bench measures.  Returns
+    (out, cache')."""
+    b, _, e = x.shape
+    h, d = cfg.heads, cfg.head_dim
+    hx = _ln(x, *params["ln1"])
+    q, k, v = jnp.split(hx @ params["wqkv"], 3, axis=-1)
+    qh = q.reshape(b, h, 1, d)
+    kh = k.reshape(b, 1, h, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, 1, h, d).transpose(0, 2, 1, 3)
+    cache = {
+        "k": jax.lax.dynamic_update_slice(
+            cache["k"], kh.astype(cache["k"].dtype), (0, 0, pos, 0)),
+        "v": jax.lax.dynamic_update_slice(
+            cache["v"], vh.astype(cache["v"].dtype), (0, 0, pos, 0)),
+    }
+    scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bhqd,bhsd->bhqs", qh, cache["k"],
+                        preferred_element_type=jnp.float32) * scale
+    slen = cache["k"].shape[2]
+    valid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, slen), 3) <= pos
+    logits = jnp.where(valid, logits, -1e30)
+    p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    a = jnp.einsum("bhqs,bhsd->bhqd", p, cache["v"],
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    out = x + a.transpose(0, 2, 1, 3).reshape(b, 1, e) @ params["wo"]
+    h2 = _ln(out, *params["ln2"])
+    out = out + jax.nn.gelu(h2 @ params["w1"]) @ params["w2"]
+    return out, cache

@@ -505,6 +505,73 @@ def bench_decode_attention(
     return results
 
 
+# --------------------------------------------------------- block serving
+def bench_block_decode(
+    shapes: List[tuple],
+    dtype: str = "bfloat16",
+    n_hi: int = 16,
+    reps: int = 2,
+) -> List[ComputeResult]:
+    """Whole-BLOCK decode step (models/transformer.py decode_step):
+    cached attention + the full MLP/projection stack at T=1 — the
+    weight-STREAMING regime that bounds serving tokens/s.  Shapes are
+    (batch, cache_len, emb, heads, ffn); the roofline is
+    (weight bytes + KV bytes) / HBM BW, the classic per-token serving
+    bound (batch amortizes weights, so tokens/s rises with B until the
+    KV term dominates)."""
+    from param_tpu.models.transformer import (
+        TransformerConfig, decode_step, init_params, prefill)
+
+    dt = dtype_from_name(dtype)
+    chip = detect_chip()
+    hbm = getattr(chip, "hbm_gbs", 0.0) or 0.0
+    results = []
+    for b, cache_len, e, h, ff in shapes:
+        cfg = TransformerConfig(batch=b, seq=1, emb=e, heads=h, ffn=ff,
+                                attention="xla", dtype=dtype)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        r = np.random.default_rng(0)
+        prompt = (jnp.asarray(r.standard_normal(
+            (b, cache_len // 2, e), dtype=np.float32)) * 0.1).astype(dt)
+        pre_cfg = TransformerConfig(batch=b, seq=cache_len // 2, emb=e,
+                                    heads=h, ffn=ff, attention="xla",
+                                    dtype=dtype)
+        _, cache = prefill(params, prompt, pre_cfg, cache_len)
+        x1 = (jnp.asarray(r.standard_normal((b, 1, e),
+                                            dtype=np.float32)) * 0.1).astype(dt)
+        pos = cache_len - 2  # near-full cache: worst-case KV read
+
+        @functools.partial(jax.jit, static_argnames="nn")
+        def chain(params, cache, x, nn):
+            def step(carry, i):
+                cache, acc = carry
+                xi = x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
+                out, cache = decode_step(params, cache, xi, pos, cfg)
+                return (cache, acc + jnp.sum(out.astype(jnp.float32))), None
+
+            (cache, acc), _ = lax.scan(step, (cache, jnp.float32(0)),
+                                       jnp.arange(nn))
+            return acc
+
+        try:
+            per = measure_chain(
+                lambda nn: chain(params, cache, x1, nn=nn),
+                n_lo=1, n_hi=n_hi, reps=reps)
+        except Exception:
+            log.exception("block decode %s failed", (b, cache_len, e, h, ff))
+            continue
+        esz = jnp.dtype(dt).itemsize
+        w_bytes = (e * 3 * e + e * e + 2 * e * ff) * esz
+        kv_bytes = 2 * b * e * cache_len * esz
+        gbs = (w_bytes + kv_bytes) / per / 1e9
+        results.append(_report(ComputeResult(
+            op="serve", shape=(b, cache_len, e, h, ff),
+            lat_us=per * 1e6, gbs=gbs, qps=b / per,
+            roofline_frac=gbs / hbm if hbm else 0.0,
+        ), dtype))
+    return results
+
+
 # ------------------------------------------------------- transformer block
 def transformer_block_flops(b: int, s: int, e: int, h: int, ff: int,
                             causal: bool = True, grad: bool = True) -> int:

@@ -86,6 +86,12 @@ DECODE_LLAMA3 = [(8, 32, 8, 2048, 128), (32, 32, 8, 2048, 128),
 DECODE_DATASETS = {"llama2": DECODE_LLAMA2, "gpt2": DECODE_GPT2,
                    "llama3-gqa": DECODE_LLAMA3}
 
+# serve tuple (batch, cache_len, emb, heads, ffn): whole-block decode
+SERVE_LLAMA2 = [(1, 2048, 4096, 32, 11008), (8, 2048, 4096, 32, 11008),
+                (32, 2048, 4096, 32, 11008)]
+SERVE_GPT2 = [(8, 1024, 768, 12, 3072), (64, 1024, 768, 12, 3072)]
+SERVE_DATASETS = {"llama2": SERVE_LLAMA2, "gpt2": SERVE_GPT2}
+
 TRANSFORMER_DATASETS = {
     "gpt2": TRANSFORMER_GPT2,
     "gpt2-medium": TRANSFORMER_GPT2_MEDIUM,

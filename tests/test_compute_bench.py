@@ -132,3 +132,9 @@ class TestDecodeAttention:
         rows = bench_decode_attention([(2, 4, 512, 64)], n_hi=2, reps=1)
         assert rows[0].op == "decode"
         assert rows[0].gbs > 0 and rows[0].lat_us > 0
+
+    def test_block_serve_row(self):
+        from param_tpu.ops.compute_bench import bench_block_decode
+
+        rows = bench_block_decode([(2, 128, 64, 2, 128)], n_hi=2, reps=1)
+        assert rows[0].op == "serve" and rows[0].gbs > 0

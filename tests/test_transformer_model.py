@@ -117,3 +117,34 @@ class TestPipelineParallel:
         np.testing.assert_allclose(np.asarray(got_p["w2"]),
                                    np.asarray(want_p["w2"]),
                                    atol=1e-6, rtol=1e-5)
+
+
+class TestServingCache:
+    """KV-cache prefill + decode (models/transformer.py): feeding the
+    suffix token-by-token through decode_step must reproduce the full
+    causal forward exactly."""
+
+    def test_cached_decode_matches_full_forward(self):
+        cfg = _cfg(batch=2, seq=48, emb=64, heads=4, attention="xla")
+        from param_tpu.models.transformer import decode_step, prefill
+
+        params, x = _inputs(cfg)
+        full = block_apply(params, x, cfg)
+
+        t0 = 32
+        cache_len = cfg.seq
+        out_pre, cache = prefill(
+            params, x[:, :t0],
+            _cfg(batch=2, seq=t0, emb=64, heads=4, attention="xla"),
+            cache_len)
+        np.testing.assert_allclose(np.asarray(out_pre),
+                                   np.asarray(full[:, :t0]),
+                                   atol=2e-5, rtol=2e-5)
+        step = jax.jit(lambda p, c, xt, pos: decode_step(p, c, xt, pos,
+                                                         cfg))
+        for t in range(t0, cfg.seq):
+            out_t, cache = step(params, cache, x[:, t:t + 1],
+                                jnp.int32(t))
+            np.testing.assert_allclose(np.asarray(out_t),
+                                       np.asarray(full[:, t:t + 1]),
+                                       atol=3e-5, rtol=3e-5)
