@@ -307,7 +307,7 @@ def decode_step(params: Dict, cache: Dict, x, pos, cfg: TransformerConfig):
     b, _, e = x.shape
     h, d = cfg.heads, cfg.head_dim
     hx = _ln(x, *params["ln1"])
-    q, k, v = jnp.split(hx @ params["wqkv"], 3, axis=-1)
+    q, k, v = jnp.split(_mm(hx, params["wqkv"]), 3, axis=-1)
     qh = q.reshape(b, h, 1, d)
     kh = k.reshape(b, 1, h, d).transpose(0, 2, 1, 3)
     vh = v.reshape(b, 1, h, d).transpose(0, 2, 1, 3)
@@ -326,7 +326,38 @@ def decode_step(params: Dict, cache: Dict, x, pos, cfg: TransformerConfig):
     p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     a = jnp.einsum("bhqs,bhsd->bhqd", p, cache["v"],
                    preferred_element_type=jnp.float32).astype(x.dtype)
-    out = x + a.transpose(0, 2, 1, 3).reshape(b, 1, e) @ params["wo"]
+    out = x + _mm(a.transpose(0, 2, 1, 3).reshape(b, 1, e), params["wo"])
     h2 = _ln(out, *params["ln2"])
-    out = out + jax.nn.gelu(h2 @ params["w1"]) @ params["w2"]
+    out = out + _mm(jax.nn.gelu(_mm(h2, params["w1"])), params["w2"])
     return out, cache
+
+
+# ------------------------------------------------- int8 weight-only serving
+
+def quantize_block_weights_int8(params: Dict) -> Dict:
+    """Per-output-column max-abs int8 quantization of the block's matmul
+    weights (the ops/inference.py recipe applied to the serving path);
+    LN params stay float.  Halves the per-token weight STREAM — the
+    quantity that bounds B=1 decode."""
+    def q(w):
+        absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+        scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        qw = jnp.clip(jnp.round(w.astype(jnp.float32) / scale),
+                      -127, 127).astype(jnp.int8)
+        return (qw, scale.astype(jnp.float32))
+
+    return {**params, **{k: q(params[k])
+                         for k in ("wqkv", "wo", "w1", "w2")}}
+
+
+def _mm(x, w):
+    """Matmul accepting plain weights or (int8, per-col scale) pairs —
+    int8 weights stream from HBM at half width and dequantize in the
+    epilogue (the MXU pass runs bf16 either way)."""
+    if isinstance(w, tuple):
+        qw, scale = w
+        y = jnp.einsum("...i,ij->...j", x.astype(jnp.bfloat16),
+                       qw.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return (y * scale).astype(x.dtype)
+    return x @ w

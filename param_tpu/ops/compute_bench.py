@@ -518,25 +518,34 @@ def bench_block_decode(
     (batch, cache_len, emb, heads, ffn); the roofline is
     (weight bytes + KV bytes) / HBM BW, the classic per-token serving
     bound (batch amortizes weights, so tokens/s rises with B until the
-    KV term dominates)."""
-    from param_tpu.models.transformer import (
-        TransformerConfig, decode_step, init_params, prefill)
+    KV term dominates).
 
-    dt = dtype_from_name(dtype)
+    dtype 'int8' selects WEIGHT-ONLY quantization (activations and KV
+    stay bf16; ops/inference.py recipe): the weight stream halves, which
+    is most of the B=1 bound."""
+    from param_tpu.models.transformer import (
+        TransformerConfig, decode_step, init_params, prefill,
+        quantize_block_weights_int8)
+
+    quant = dtype == "int8"
+    act_dtype = "bfloat16" if quant else dtype
+    dt = dtype_from_name(act_dtype)
     chip = detect_chip()
     hbm = getattr(chip, "hbm_gbs", 0.0) or 0.0
     results = []
     for b, cache_len, e, h, ff in shapes:
         cfg = TransformerConfig(batch=b, seq=1, emb=e, heads=h, ffn=ff,
-                                attention="xla", dtype=dtype)
+                                attention="xla", dtype=act_dtype)
         params = init_params(jax.random.PRNGKey(0), cfg)
         r = np.random.default_rng(0)
         prompt = (jnp.asarray(r.standard_normal(
             (b, cache_len // 2, e), dtype=np.float32)) * 0.1).astype(dt)
         pre_cfg = TransformerConfig(batch=b, seq=cache_len // 2, emb=e,
                                     heads=h, ffn=ff, attention="xla",
-                                    dtype=dtype)
+                                    dtype=act_dtype)
         _, cache = prefill(params, prompt, pre_cfg, cache_len)
+        if quant:
+            params = quantize_block_weights_int8(params)
         x1 = (jnp.asarray(r.standard_normal((b, 1, e),
                                             dtype=np.float32)) * 0.1).astype(dt)
         pos = cache_len - 2  # near-full cache: worst-case KV read
@@ -561,11 +570,13 @@ def bench_block_decode(
             log.exception("block decode %s failed", (b, cache_len, e, h, ff))
             continue
         esz = jnp.dtype(dt).itemsize
-        w_bytes = (e * 3 * e + e * e + 2 * e * ff) * esz
+        w_elems = e * 3 * e + e * e + 2 * e * ff
+        w_bytes = w_elems * (1 if quant else esz)
         kv_bytes = 2 * b * e * cache_len * esz
         gbs = (w_bytes + kv_bytes) / per / 1e9
         results.append(_report(ComputeResult(
-            op="serve", shape=(b, cache_len, e, h, ff),
+            op="serve-int8" if quant else "serve",
+            shape=(b, cache_len, e, h, ff),
             lat_us=per * 1e6, gbs=gbs, qps=b / per,
             roofline_frac=gbs / hbm if hbm else 0.0,
         ), dtype))

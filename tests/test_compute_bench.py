@@ -138,3 +138,10 @@ class TestDecodeAttention:
 
         rows = bench_block_decode([(2, 128, 64, 2, 128)], n_hi=2, reps=1)
         assert rows[0].op == "serve" and rows[0].gbs > 0
+
+    def test_block_serve_int8_row(self):
+        from param_tpu.ops.compute_bench import bench_block_decode
+
+        rows = bench_block_decode([(2, 128, 64, 2, 128)], dtype="int8",
+                                  n_hi=2, reps=1)
+        assert rows[0].op == "serve-int8" and rows[0].gbs > 0
