@@ -288,3 +288,24 @@ def test_flash_gqa_rejects_nondividing_heads():
     kv = _rand((1, 4, 128, 128), jnp.float32, 64)
     with pytest.raises(ValueError, match="kv heads"):
         flash_attention(q, kv, kv)
+
+
+@pytest.mark.parametrize("w,d", [(128, 128), (256, 128), (128, 64)])
+def test_flash_sliding_window(w, d):
+    """Mistral-style sliding-window attention: band tiles only (the
+    compacted walk gains a lower bound and per-row first-tile init)."""
+    b, h, s = 1, 2, 512
+    q = _rand((b, h, s, d), jnp.float32, 70) * 0.3
+    k = _rand((b, h, s, d), jnp.float32, 71) * 0.3
+    v = _rand((b, h, s, d), jnp.float32, 72) * 0.3
+    got = flash_attention(q, k, v, causal=True, window=w, block_q=128,
+                          block_k=128)
+    want = mha_reference(q, k, v, causal=True, window=w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_window_requires_causal():
+    q = _rand((1, 2, 256, 128), jnp.float32, 73)
+    with pytest.raises(NotImplementedError, match="causal"):
+        flash_attention(q, q, q, causal=False, window=64)
