@@ -298,12 +298,15 @@ def prefill(params: Dict, x, cfg: TransformerConfig, cache_len: int):
     return out, cache
 
 
-def decode_step(params: Dict, cache: Dict, x, pos, cfg: TransformerConfig):
+def decode_step(params: Dict, cache: Dict, x, pos, cfg: TransformerConfig,
+                window: Optional[int] = None):
     """One cached decode step: x is (B, 1, E), ``pos`` the write position
     (= tokens already in the cache).  Attends the query token against
     cache[0..pos] with a static-shape position mask — the memory-bound
-    softmax-weighted KV reduction the decode bench measures.  Returns
-    (out, cache')."""
+    softmax-weighted KV reduction the decode bench measures.  ``window``
+    restricts attention to the last W cache entries (mistral-style
+    sliding window; pairs with flash_attention(window=W) at prefill).
+    Returns (out, cache')."""
     b, _, e = x.shape
     h, d = cfg.heads, cfg.head_dim
     hx = _ln(x, *params["ln1"])
@@ -321,7 +324,10 @@ def decode_step(params: Dict, cache: Dict, x, pos, cfg: TransformerConfig):
     logits = jnp.einsum("bhqd,bhsd->bhqs", qh, cache["k"],
                         preferred_element_type=jnp.float32) * scale
     slen = cache["k"].shape[2]
-    valid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, slen), 3) <= pos
+    posn = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, slen), 3)
+    valid = posn <= pos
+    if window is not None:
+        valid = jnp.logical_and(valid, posn > pos - window)
     logits = jnp.where(valid, logits, -1e30)
     p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     a = jnp.einsum("bhqs,bhsd->bhqd", p, cache["v"],

@@ -148,3 +148,37 @@ class TestServingCache:
             np.testing.assert_allclose(np.asarray(out_t),
                                        np.asarray(full[:, t:t + 1]),
                                        atol=3e-5, rtol=3e-5)
+
+    def test_windowed_decode_matches_windowed_oracle(self):
+        """decode_step(window=W) must equal the full forward computed
+        with sliding-window attention at the same position."""
+        from param_tpu.models.transformer import decode_step, prefill
+        from param_tpu.ops.attention import mha_reference
+
+        cfg = _cfg(batch=1, seq=32, emb=64, heads=4, attention="xla")
+        params, x = _inputs(cfg)
+        W = 8
+        t0 = 24
+        _, cache = prefill(
+            params, x[:, :t0],
+            _cfg(batch=1, seq=t0, emb=64, heads=4, attention="xla"),
+            cfg.seq)
+        out_t, _ = decode_step(params, cache, x[:, t0:t0 + 1],
+                               jnp.int32(t0), cfg, window=W)
+        # oracle: full block forward where attention is windowed
+        # (block_apply imports mha_reference at call time, so patching
+        # the source module routes it through the windowed variant)
+        import param_tpu.models.transformer as tm
+        import param_tpu.ops.attention as att
+        from unittest import mock
+
+        with mock.patch.object(att, "mha_reference",
+                               lambda q, k, v, causal=False, **kw:
+                               mha_reference(q, k, v, causal=True,
+                                             window=W)):
+            full = tm.block_apply(params, x[:, :t0 + 1],
+                                  _cfg(batch=1, seq=t0 + 1, emb=64,
+                                       heads=4, attention="xla"))
+        np.testing.assert_allclose(np.asarray(out_t),
+                                   np.asarray(full[:, -1:]),
+                                   atol=3e-5, rtol=3e-5)
