@@ -168,6 +168,68 @@ def main() -> int:
         assert r.pct(50) > 0, coll
         assert r.dcheck_ok is True, (coll, r.dcheck_ok)
     print(f"RESULT proc={proc_id} sweep_dcheck_ok", flush=True)
+
+    # transformer tiers across REAL processes: a dp x tp block train
+    # step (XLA-inserted collectives spanning the process boundary) and
+    # an ep MoE a2a dispatch with oracle parity
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from param_tpu.models.transformer import (
+        TransformerConfig, init_params, make_sharded_train_step,
+        make_train_step, place)
+
+    tcfg = TransformerConfig(batch=2 * world, seq=32, emb=32, heads=2,
+                             ffn=64, attention="xla", dtype="float32")
+    mesh_t = Mesh(np.array(jax.devices()).reshape(world // 2, 2),
+                  ("dp", "tp"))
+    tparams = init_params(jax.random.PRNGKey(3), tcfg)
+    tx = jax.random.normal(jax.random.PRNGKey(4),
+                           (tcfg.batch, tcfg.seq, tcfg.emb),
+                           jnp.float32) * 0.1
+    _, want_t = jax.jit(make_train_step(tcfg))(tparams, tx)
+    # cross-process device_put needs host (numpy) values, identical on
+    # every process — each contributes its addressable shards
+    tparams_np = jax.tree.map(np.asarray, tparams)
+    p_sh, x_sh = place(tparams_np, np.asarray(tx), mesh_t, tcfg)
+    _, got_t = make_sharded_train_step(mesh_t, tcfg)(p_sh, x_sh)
+    from param_tpu.comms.timing import fetch_scalar
+    gv, wv = fetch_scalar(got_t), fetch_scalar(want_t)
+    assert abs(gv - wv) < 1e-5 + 1e-5 * abs(wv), (gv, wv)
+    print(f"RESULT proc={proc_id} tp_transformer_ok loss={gv:.6f}",
+          flush=True)
+
+    from param_tpu.models.moe import (
+        MoeConfig, init_moe_params, moe_apply_ep, moe_apply_reference,
+        moe_param_specs)
+
+    mcfg = MoeConfig(emb=16, ffn=32, n_experts=world)
+    mparams = init_moe_params(jax.random.PRNGKey(11), mcfg)
+    mx = jax.random.normal(jax.random.PRNGKey(12),
+                           (world * 8, mcfg.emb), jnp.float32) * 0.5
+    mesh_e = Mesh(np.array(jax.devices()), ("ep",))
+    from jax.sharding import NamedSharding
+
+    mparams_g = {
+        k2: jax.device_put(np.asarray(mparams[k2]),
+                           NamedSharding(mesh_e, s2))
+        for k2, s2 in moe_param_specs().items()
+    }
+    mx_g = jax.device_put(np.asarray(mx), NamedSharding(mesh_e, P("ep")))
+    mgot = jax.jit(jax.shard_map(
+        lambda p, x: moe_apply_ep(p, x, "ep", mcfg),
+        mesh=mesh_e, in_specs=(moe_param_specs(), P("ep")),
+        out_specs=P("ep"), check_vma=False))(mparams_g, mx_g)
+    mwant = np.asarray(moe_apply_reference(mparams, mx, mcfg,
+                                           n_senders=world))
+    # the global output spans non-addressable devices: compare THIS
+    # process's shards against the matching oracle slices
+    merr = 0.0
+    for sh in mgot.addressable_shards:
+        merr = max(merr, float(np.max(np.abs(
+            np.asarray(sh.data) - mwant[sh.index]))))
+    assert merr < 2e-5, merr
+    print(f"RESULT proc={proc_id} ep_moe_ok err={merr:.1e}", flush=True)
     return 0
 
 

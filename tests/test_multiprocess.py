@@ -69,6 +69,10 @@ class TestMultiProcess:
             assert bench, out[-800:]
             p50s.add(bench[0].split("bench_p50=")[1])
             assert any("sweep_dcheck_ok" in l for l in line), out[-800:]
+            # round-5 tiers across REAL processes: dp x tp transformer
+            # step parity and ep MoE a2a oracle parity
+            assert any("tp_transformer_ok" in l for l in line), out[-800:]
+            assert any("ep_moe_ok" in l for l in line), out[-800:]
         # every process computes the same global loss and, via the
         # cross-rank sample gather, the same pooled bench percentiles
         assert len(losses) == 1
