@@ -182,3 +182,27 @@ class TestServingCache:
         np.testing.assert_allclose(np.asarray(out_t),
                                    np.asarray(full[:, -1:]),
                                    atol=3e-5, rtol=3e-5)
+
+
+def test_et_capture_replay_of_train_step():
+    """The jaxpr execution-trace tier (trace/capture.py) composes with
+    the transformer family: capture one train step, replay op-by-op,
+    outputs must match (the dryrun path-4 contract, on this model)."""
+    from param_tpu.trace.capture import capture_execution_trace
+    from param_tpu.trace.et_replay import EtReplayManager
+
+    cfg = _cfg(batch=2, seq=64, emb=64, heads=2, ffn=128,
+               attention="xla")
+    params, x = _inputs(cfg)
+    step = make_train_step(cfg, lr=1e-3)
+    et = capture_execution_trace(step, params, x)
+    flat_in, _ = jax.tree.flatten((params, x))
+    mgr = EtReplayManager(
+        et, inputs={t: v for t, v in zip(et.in_tensors, flat_in)})
+    out = mgr.replay(iters=1)
+    assert not out["errors"], out["errors"]
+    want = step(params, x)
+    flat_want, _ = jax.tree.flatten(want)
+    for tid, w in zip(et.out_tensors, flat_want):
+        np.testing.assert_allclose(np.asarray(mgr.registry[tid]),
+                                   np.asarray(w), rtol=1e-5, atol=1e-5)
