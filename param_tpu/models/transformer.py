@@ -356,10 +356,119 @@ def quantize_block_weights_int8(params: Dict) -> Dict:
                          for k in ("wqkv", "wo", "w1", "w2")}}
 
 
+def quantize_block_weights_int4(params: Dict, group: int = 128) -> Dict:
+    """Group-wise (AWQ-style, ``group`` input rows share a scale) int4
+    weight-only quantization, so the weight STREAM is a quarter of bf16 —
+    the next rung below int8 on the B=1 decode bound.  Per-column scales
+    alone are too coarse at 4 bits; group-wise keeps the round-trip error
+    ~1e-2.  LN params stay float.  Reference recipe lineage: infer_gpu:89's
+    weight-only quantization ladder (fp16 → int8), extended one step.
+
+    Values are stored in an int8 CARRIER (one nibble value in [-7, 7] per
+    byte); :func:`cast_int4_params` converts carriers to XLA's native
+    ``int4`` dtype (2/byte in HBM) — call it INSIDE the serving program,
+    before the decode loop, so the per-step weight stream is s4-packed.
+    (On-chip sweep, scripts/int4_experiment.py: XLA's s4 dot streams at
+    865 GB/s with fused group scales — 2.9x the best in-kernel Pallas
+    nibble unpack, which is VPU-bound at ~300 GB/s on v5e.)"""
+    def q(w):
+        din, dout = w.shape
+        g = min(group, din)
+        assert din % g == 0, (din, g)
+        wf = w.astype(jnp.float32).reshape(din // g, g, dout)
+        absmax = jnp.max(jnp.abs(wf), axis=1)
+        scale = jnp.where(absmax > 0, absmax / 7.0, 1.0)
+        qv = jnp.clip(jnp.round(wf / scale[:, None, :]), -7, 7)
+        return (qv.astype(jnp.int8).reshape(din, dout),
+                scale.astype(jnp.float32), g)
+
+    return {**params, **{k: q(params[k])
+                         for k in ("wqkv", "wo", "w1", "w2")}}
+
+
+def cast_int4_params(params: Dict) -> Dict:
+    """int8 carriers → jnp.int4 (s4, 2 values/byte in HBM), PRE-SHAPED to
+    the (groups, group, dout) layout the serving einsum consumes.  Jit-
+    safe; run inside the serving program ahead of the decode loop — both
+    the convert and the 3D reshape must happen OUTSIDE the per-token loop
+    (reshaping a packed s4 array re-tiles it physically; done per step it
+    costs more than the matmul).  (Kept out of quantize_block_weights_int4
+    because the axon remote plugin cannot device_put s4 arrays across the
+    jit boundary — standard TPU installs can pass pre-cast s4 params
+    directly.)"""
+    def cast(v):
+        q, scale, g = v
+        din, dout = q.shape
+        return (q.reshape(scale.shape[0], din // scale.shape[0],
+                          dout).astype(jnp.int4), scale, g)
+
+    return {k: (cast(v) if isinstance(v, tuple) and len(v) == 3 else v)
+            for k, v in params.items()}
+
+
+def _unpack_int4(packed, scale, g=None):
+    """(din//2, dout) packed nibbles + (din//g, dout) scales →
+    bf16 (low, high) halves (even/odd input rows), scales folded in.
+    The group size is derived from the scale array's STATIC shape (the
+    ``g`` slot of the weight tuple becomes a tracer under jit).  Low
+    nibble is stored +8-biased (ops/matmul.pack_int4 encoding)."""
+    dhalf, dout = packed.shape
+    low = (jnp.bitwise_and(packed.astype(jnp.int32), 15) - 8).astype(
+        jnp.int8)
+    high = jnp.right_shift(packed, 4)                        # arithmetic
+    gh = dhalf // scale.shape[0]                             # = g // 2
+    s = scale.astype(jnp.bfloat16)[:, None, :]               # (din//g,1,dout)
+
+    def deq(nib):
+        return (nib.astype(jnp.bfloat16).reshape(dhalf // gh, gh, dout)
+                * s).reshape(dhalf, dout)
+
+    return deq(low), deq(high)
+
+
 def _mm(x, w):
-    """Matmul accepting plain weights or (int8, per-col scale) pairs —
-    int8 weights stream from HBM at half width and dequantize in the
-    epilogue (the MXU pass runs bf16 either way)."""
+    """Matmul accepting plain weights, (int8, per-col scale) pairs, or
+    (packed int4, group scales, group) triples — quantized weights stream
+    from HBM at half/quarter width and dequantize on the way into the MXU
+    (the matmul pass runs bf16 either way).  The int4 path contracts the
+    even/odd input rows against the two nibble planes separately so each
+    MXU operand is a pure elementwise chain from the packed buffer — no
+    interleave op between the HBM read and the dot."""
+    if isinstance(w, tuple) and len(w) == 3:
+        q, scale, g = w
+        dout = q.shape[-1]
+        lead = x.shape[:-1]
+        if q.ndim == 3 or q.shape[0] == x.shape[-1]:
+            # s4 (or int8-carrier) layout: batched group einsum.  XLA
+            # fuses the s4→bf16 convert into the dot operand and the
+            # group-scale reduction into the epilogue — measured 865 GB/s
+            # on the packed stream (vs ~300 GB/s for the best Pallas
+            # in-register nibble unpack; scripts/int4_experiment.py).
+            # cast_int4_params pre-shapes s4 weights to (a, gg, dout);
+            # int8 carriers (CPU test path) reshape here.
+            a = scale.shape[0]
+            kdim = x.shape[-1]
+            gg = kdim // a
+            if q.ndim == 2:
+                q = q.reshape(a, gg, dout)
+            xb = x.reshape(-1, kdim).astype(jnp.bfloat16)
+            m = xb.shape[0]
+            # pad the GEMV to a full bf16 sublane tile: the M=1 decode
+            # dot runs at 395 GB/s, M=16 at 862 (on-chip sweep)
+            mp = max(m, 16)
+            if mp != m:
+                xb = jnp.pad(xb, ((0, mp - m), (0, 0)))
+            xg = xb.reshape(mp, a, gg).transpose(1, 0, 2)
+            part = jnp.einsum("amg,agn->amn", xg, q.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+            y = jnp.einsum("amn,an->mn", part, scale)[:m]
+            return y.reshape(*lead, dout).astype(x.dtype)
+        # nibble-packed (K//2, N) layout: Pallas in-register unpack
+        from param_tpu.ops.matmul import matmul_int4
+
+        y = matmul_int4(x.reshape(-1, x.shape[-1]), packed=q, scale=scale,
+                        out_dtype=x.dtype)
+        return y.reshape(*lead, dout)
     if isinstance(w, tuple):
         qw, scale = w
         y = jnp.einsum("...i,ij->...j", x.astype(jnp.bfloat16),

@@ -520,14 +520,15 @@ def bench_block_decode(
     bound (batch amortizes weights, so tokens/s rises with B until the
     KV term dominates).
 
-    dtype 'int8' selects WEIGHT-ONLY quantization (activations and KV
-    stay bf16; ops/inference.py recipe): the weight stream halves, which
-    is most of the B=1 bound."""
+    dtype 'int8'/'int4' selects WEIGHT-ONLY quantization (activations and
+    KV stay bf16; ops/inference.py recipe, int4 = group-128 nibble
+    packing): the weight stream drops to 1/2 / 1/4 of bf16, which is
+    most of the B=1 bound."""
     from param_tpu.models.transformer import (
-        TransformerConfig, decode_step, init_params, prefill,
-        quantize_block_weights_int8)
+        TransformerConfig, cast_int4_params, decode_step, init_params,
+        prefill, quantize_block_weights_int4, quantize_block_weights_int8)
 
-    quant = dtype == "int8"
+    quant = dtype in ("int8", "int4")
     act_dtype = "bfloat16" if quant else dtype
     dt = dtype_from_name(act_dtype)
     chip = detect_chip()
@@ -545,13 +546,19 @@ def bench_block_decode(
                                     dtype=act_dtype)
         _, cache = prefill(params, prompt, pre_cfg, cache_len)
         if quant:
-            params = quantize_block_weights_int8(params)
+            params = (quantize_block_weights_int8(params) if dtype == "int8"
+                      else quantize_block_weights_int4(params))
         x1 = (jnp.asarray(r.standard_normal((b, 1, e),
                                             dtype=np.float32)) * 0.1).astype(dt)
         pos = cache_len - 2  # near-full cache: worst-case KV read
 
         @functools.partial(jax.jit, static_argnames="nn")
         def chain(params, cache, x, nn):
+            if dtype == "int4":
+                # int8 carriers → native s4 ONCE, ahead of the decode
+                # loop: the per-step weight stream is then 4-bit packed
+                params = cast_int4_params(params)
+
             def step(carry, i):
                 cache, acc = carry
                 xi = x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
@@ -570,12 +577,21 @@ def bench_block_decode(
             log.exception("block decode %s failed", (b, cache_len, e, h, ff))
             continue
         esz = jnp.dtype(dt).itemsize
-        w_elems = e * 3 * e + e * e + 2 * e * ff
-        w_bytes = w_elems * (1 if quant else esz)
+        # Honest stream accounting: walk the (possibly quantized) matmul
+        # weights — packed nibbles/int8 bytes plus the actual scale arrays.
+        w_bytes = 0
+        for k in ("wqkv", "wo", "w1", "w2"):
+            w = params[k]
+            if isinstance(w, tuple) and len(w) == 3:  # int4: s4-packed
+                w_bytes += w[0].size // 2 + w[1].nbytes
+            elif isinstance(w, tuple):
+                w_bytes += sum(t.nbytes for t in w if hasattr(t, "nbytes"))
+            else:
+                w_bytes += w.nbytes
         kv_bytes = 2 * b * e * cache_len * esz
         gbs = (w_bytes + kv_bytes) / per / 1e9
         results.append(_report(ComputeResult(
-            op="serve-int8" if quant else "serve",
+            op=f"serve-{dtype}" if quant else "serve",
             shape=(b, cache_len, e, h, ff),
             lat_us=per * 1e6, gbs=gbs, qps=b / per,
             roofline_frac=gbs / hbm if hbm else 0.0,

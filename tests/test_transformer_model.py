@@ -184,6 +184,85 @@ class TestServingCache:
                                    atol=3e-5, rtol=3e-5)
 
 
+class TestQuantizedServing:
+    """Weight-only int8/int4 serving paths (models/transformer.py):
+    the quantized _mm must match a matmul against the explicitly
+    dequantized weights exactly (the compute path is the same bf16 MXU
+    pass), and the whole quantized decode step must stay within the
+    quantization error of the fp step."""
+
+    def test_int4_mm_matches_dequant_oracle(self):
+        from param_tpu.models.transformer import (
+            _mm, cast_int4_params, quantize_block_weights_int4)
+
+        r = np.random.default_rng(0)
+        w = jnp.asarray(r.standard_normal((256, 192),
+                                          dtype=np.float32) * 0.05)
+        qp = quantize_block_weights_int4(
+            {"wqkv": w, "wo": w, "w1": w, "w2": w}, group=64)
+        q, scale, g = qp["wqkv"]
+        assert q.shape == (256, 192) and q.dtype == jnp.int8
+        assert scale.shape == (256 // 64, 192)
+        wd = (np.asarray(q, np.float32)
+              * np.repeat(np.asarray(scale), 64, axis=0))
+        # round-trip quantization error is bounded by half an int4 step
+        half_step = np.asarray(scale, np.float32).max() / 2
+        assert np.abs(wd - np.asarray(w)).max() <= half_step + 1e-6
+        x = jnp.asarray(r.standard_normal((3, 256),
+                                          dtype=np.float32) * 0.1)
+        want = np.asarray(x @ jnp.asarray(wd))
+        got = np.asarray(_mm(x, qp["wqkv"]))          # int8 carrier
+        np.testing.assert_allclose(got, want, atol=5e-3, rtol=0)
+        got4 = np.asarray(_mm(x, cast_int4_params(qp)["wqkv"]))  # s4
+        np.testing.assert_allclose(got4, want, atol=5e-3, rtol=0)
+
+    def test_int4_pallas_kernel_matches_oracle(self):
+        """The nibble-packed Pallas path (ops/matmul.matmul_int4) — kept
+        as the in-kernel A/B to the XLA s4 path — must match the
+        dequantized-weight oracle bit-for-bit up to bf16 rounding."""
+        from param_tpu.ops.matmul import matmul_int4, pack_int4
+
+        r = np.random.default_rng(2)
+        k, n, g = 512, 256, 128
+        w = jnp.asarray(r.standard_normal((k, n), dtype=np.float32) * 0.05)
+        x = jnp.asarray(r.standard_normal((5, k), dtype=np.float32) * 0.1)
+        packed, scale = pack_int4(w, g)
+        pn = np.asarray(packed, np.int32)
+        wd = np.zeros((k, n), np.float32)
+        wd[0::2] = (pn & 15) - 8          # +8-biased low nibble
+        wd[1::2] = np.right_shift(pn, 4)  # arithmetic-shift high nibble
+        wd *= np.repeat(np.asarray(scale), g, axis=0)
+        want = np.asarray(x.astype(jnp.bfloat16)).astype(np.float32) @ wd
+        for variant in ("tile-scale", "group-dots"):
+            got = np.asarray(matmul_int4(x, packed, scale,
+                                         out_dtype=jnp.float32,
+                                         variant=variant))
+            np.testing.assert_allclose(got, want, atol=5e-3, rtol=0)
+
+    @pytest.mark.parametrize("bits", [8, 4])
+    def test_quantized_decode_step_close_to_fp(self, bits):
+        from param_tpu.models.transformer import (
+            decode_step, prefill, quantize_block_weights_int4,
+            quantize_block_weights_int8)
+
+        cfg = _cfg(batch=2, seq=32, emb=128, heads=4, attention="xla")
+        params, x = _inputs(cfg)
+        t0 = 24
+        _, cache = prefill(
+            params, x[:, :t0],
+            _cfg(batch=2, seq=t0, emb=128, heads=4, attention="xla"),
+            cfg.seq)
+        ref, _ = decode_step(params, cache, x[:, t0:t0 + 1],
+                             jnp.int32(t0), cfg)
+        qparams = (quantize_block_weights_int8(params) if bits == 8
+                   else quantize_block_weights_int4(params, group=64))
+        got, _ = decode_step(qparams, cache, x[:, t0:t0 + 1],
+                             jnp.int32(t0), cfg)
+        rel = (np.abs(np.asarray(got) - np.asarray(ref)).max()
+               / np.abs(np.asarray(ref)).max())
+        assert rel < (0.05 if bits == 8 else 0.25), rel
+
+
 def test_et_capture_replay_of_train_step():
     """The jaxpr execution-trace tier (trace/capture.py) composes with
     the transformer family: capture one train step, replay op-by-op,
