@@ -101,7 +101,10 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=["llama2", "gpt2"])
     srv.add_argument("--shape", default=None,
                      help="explicit batch,cachelen,emb,heads,ffn")
-    srv.add_argument("--dtype", default="bfloat16")
+    srv.add_argument("--dtype", default="bfloat16",
+                     help="bfloat16/float32, or weight-only quantized "
+                          "serving: int8 (per-column scales) / int4 "
+                          "(group-128, XLA-native s4 weights)")
     srv.add_argument("--chain", type=int, default=16)
     srv.add_argument("--reps", type=int, default=2)
 

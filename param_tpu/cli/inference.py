@@ -22,7 +22,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--shape", default=None,
                     help="explicit layers,din,hidden,dout,batch")
     ap.add_argument("--dtype", default="float32",
-                    choices=["float32", "bfloat16", "float16", "int8"])
+                    choices=["float32", "bfloat16", "float16", "int8",
+                             "int4"])
     ap.add_argument("--chain", type=int, default=8)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--log", default="INFO")

@@ -89,6 +89,7 @@ python -m param_tpu.cli.compute decode --shape 2,4,512,64 --chain 2 --reps 1
 python -m param_tpu.cli.compute decode --shape 2,8,2,256,64 --chain 2 --reps 1
 python -m param_tpu.cli.compute serve --shape 2,128,64,2,128 --chain 2 --reps 1
 python -m param_tpu.cli.compute serve --shape 2,128,64,2,128 --dtype int8 --chain 2 --reps 1
+python -m param_tpu.cli.compute serve --shape 2,128,64,2,128 --dtype int4 --chain 2 --reps 1
 
 echo "== compute tier"
 python -m param_tpu.cli.compute gemm --shape 64,64,64 --chain 3 --reps 1

@@ -146,6 +146,32 @@ class TestInt8Inference:
         assert res[0].tflops > 0
 
 
+class TestInt4Inference:
+    def test_close_to_dequant_oracle(self):
+        from param_tpu.ops.inference import (
+            cast_int4_mlp, mlp_forward_int4, quantize_weights_int4)
+
+        params = init_mlp(jax.random.PRNGKey(0), [64, 64, 8])
+        x = jnp.asarray(np.random.rand(4, 64).astype(np.float32))
+        q = quantize_weights_int4(params, group=32)
+        # oracle: explicit dequant + the same fp forward
+        deq = [(jnp.asarray(np.asarray(qc, np.float32)
+                            * np.repeat(np.asarray(s), 32, axis=0)), b)
+               for qc, s, b in q]
+        ref = np.asarray(mlp_forward(
+            jax.tree.map(lambda a: a.astype(jnp.bfloat16), deq),
+            x.astype(jnp.bfloat16)), dtype=np.float32)
+        for qq in (q, cast_int4_mlp(q)):  # carrier and pre-cast s4
+            got = np.asarray(mlp_forward_int4(qq, x.astype(jnp.bfloat16)),
+                             dtype=np.float32)
+            np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
+
+    def test_bench_runs(self):
+        res = bench_inference([(2, 64, 64, 32, 16)], dtype="int4",
+                              n_hi=4, reps=1)
+        assert res[0].qps > 0
+
+
 class TestQuantPadding:
     def test_int8_allreduce_odd_elements(self, backend):
         """Element counts that don't divide the group size must pad/slice."""
