@@ -98,9 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "attention + MLP at T=1): serving tokens/s vs "
                          "the weight+KV streaming roofline")
     srv.add_argument("--dataset", default="llama2",
-                     choices=["llama2", "gpt2"])
+                     choices=["llama2", "gpt2", "llama3-gqa"])
     srv.add_argument("--shape", default=None,
-                     help="explicit batch,cachelen,emb,heads,ffn")
+                     help="explicit batch,cachelen,emb,heads,ffn (or "
+                          "batch,cachelen,emb,heads,kvheads,ffn for GQA)")
     srv.add_argument("--dtype", default="bfloat16",
                      help="bfloat16/float32, or weight-only quantized "
                           "serving: int8 (per-column scales) / int4 "

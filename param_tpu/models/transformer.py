@@ -44,11 +44,18 @@ class TransformerConfig:
     causal: bool = True
     attention: str = "flash"  # flash | xla
     dtype: str = "bfloat16"
+    kv_heads: Optional[int] = None  # < heads = GQA (llama-3 style)
 
     @property
     def head_dim(self) -> int:
         assert self.emb % self.heads == 0, (self.emb, self.heads)
         return self.emb // self.heads
+
+    @property
+    def kvh(self) -> int:
+        k = self.kv_heads or self.heads
+        assert self.heads % k == 0, (self.heads, k)
+        return k
 
 
 def init_params(key, cfg: TransformerConfig) -> Dict:
@@ -62,12 +69,25 @@ def init_params(key, cfg: TransformerConfig) -> Dict:
 
     return {
         "ln1": (jnp.ones((e,), dt), jnp.zeros((e,), dt)),
-        "wqkv": w(ks[0], e, 3 * e),
+        # GQA (kvh < heads): the kv projections are kvh*d wide
+        "wqkv": w(ks[0], e, e + 2 * cfg.kvh * cfg.head_dim),
         "wo": w(ks[1], e, e),
         "ln2": (jnp.ones((e,), dt), jnp.zeros((e,), dt)),
         "w1": w(ks[2], e, ff),
         "w2": w(ks[3], ff, e),
     }
+
+
+def _split_heads(y, cfg: TransformerConfig, b: int, s: int):
+    """(b, s, e + 2*kvh*d) qkv projection → q (b, h, s, d),
+    k/v (b, kvh, s, d)."""
+    e, d, kvh = cfg.emb, cfg.head_dim, cfg.kvh
+    q, k, v = jnp.split(y, [e, e + kvh * d], axis=-1)
+
+    def heads(t, n):
+        return t.reshape(b, s, n, d).transpose(0, 2, 1, 3)
+
+    return heads(q, cfg.heads), heads(k, kvh), heads(v, kvh)
 
 
 def _ln(x, gamma, beta):
@@ -83,17 +103,12 @@ def block_apply(params: Dict, x, cfg: TransformerConfig):
     from param_tpu.ops.attention import flash_mha, mha_reference
 
     b, s, e = x.shape
-    h, d = cfg.heads, cfg.head_dim
     hx = _ln(x, *params["ln1"])
-    q, k, v = jnp.split(hx @ params["wqkv"], 3, axis=-1)
-
-    def heads(t):
-        return t.reshape(b, s, h, d).transpose(0, 2, 1, 3)
-
+    qh, kh, vh = _split_heads(hx @ params["wqkv"], cfg, b, s)
     if cfg.attention == "flash":
-        a = flash_mha(heads(q), heads(k), heads(v), cfg.causal, None)
+        a = flash_mha(qh, kh, vh, cfg.causal, None)
     else:
-        a = mha_reference(heads(q), heads(k), heads(v), causal=cfg.causal)
+        a = mha_reference(qh, kh, vh, causal=cfg.causal)
     x = x + a.transpose(0, 2, 1, 3).reshape(b, s, e) @ params["wo"]
     h2 = _ln(x, *params["ln2"])
     return x + jax.nn.gelu(h2 @ params["w1"]) @ params["w2"]
@@ -275,14 +290,9 @@ def prefill(params: Dict, x, cfg: TransformerConfig, cache_len: int):
     from param_tpu.ops.attention import flash_mha, mha_reference
 
     b, s, e = x.shape
-    h, d = cfg.heads, cfg.head_dim
+    d, kvh = cfg.head_dim, cfg.kvh
     hx = _ln(x, *params["ln1"])
-    q, k, v = jnp.split(hx @ params["wqkv"], 3, axis=-1)
-
-    def heads(t):
-        return t.reshape(b, s, h, d).transpose(0, 2, 1, 3)
-
-    qh, kh, vh = heads(q), heads(k), heads(v)
+    qh, kh, vh = _split_heads(hx @ params["wqkv"], cfg, b, s)
     if cfg.attention == "flash":
         a = flash_mha(qh, kh, vh, cfg.causal, None)
     else:
@@ -292,8 +302,8 @@ def prefill(params: Dict, x, cfg: TransformerConfig, cache_len: int):
     out = out + jax.nn.gelu(h2 @ params["w1"]) @ params["w2"]
 
     cache = {
-        "k": jnp.zeros((b, h, cache_len, d), x.dtype).at[:, :, :s].set(kh),
-        "v": jnp.zeros((b, h, cache_len, d), x.dtype).at[:, :, :s].set(vh),
+        "k": jnp.zeros((b, kvh, cache_len, d), x.dtype).at[:, :, :s].set(kh),
+        "v": jnp.zeros((b, kvh, cache_len, d), x.dtype).at[:, :, :s].set(vh),
     }
     return out, cache
 
@@ -308,12 +318,13 @@ def decode_step(params: Dict, cache: Dict, x, pos, cfg: TransformerConfig,
     sliding window; pairs with flash_attention(window=W) at prefill).
     Returns (out, cache')."""
     b, _, e = x.shape
-    h, d = cfg.heads, cfg.head_dim
+    h, d, kvh = cfg.heads, cfg.head_dim, cfg.kvh
+    grp = h // kvh
     hx = _ln(x, *params["ln1"])
-    q, k, v = jnp.split(_mm(hx, params["wqkv"]), 3, axis=-1)
-    qh = q.reshape(b, h, 1, d)
-    kh = k.reshape(b, 1, h, d).transpose(0, 2, 1, 3)
-    vh = v.reshape(b, 1, h, d).transpose(0, 2, 1, 3)
+    q, k, v = jnp.split(_mm(hx, params["wqkv"]), [e, e + kvh * d], axis=-1)
+    qh = q.reshape(b, kvh, grp, 1, d)  # grouped query heads per kv head
+    kh = k.reshape(b, 1, kvh, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, 1, kvh, d).transpose(0, 2, 1, 3)
     cache = {
         "k": jax.lax.dynamic_update_slice(
             cache["k"], kh.astype(cache["k"].dtype), (0, 0, pos, 0)),
@@ -321,17 +332,19 @@ def decode_step(params: Dict, cache: Dict, x, pos, cfg: TransformerConfig,
             cache["v"], vh.astype(cache["v"].dtype), (0, 0, pos, 0)),
     }
     scale = 1.0 / math.sqrt(d)
-    logits = jnp.einsum("bhqd,bhsd->bhqs", qh, cache["k"],
+    # GQA: each kv head streams ONCE, shared by its grp query heads
+    logits = jnp.einsum("bkgqd,bksd->bkgqs", qh, cache["k"],
                         preferred_element_type=jnp.float32) * scale
     slen = cache["k"].shape[2]
-    posn = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, slen), 3)
+    posn = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, slen), 4)
     valid = posn <= pos
     if window is not None:
         valid = jnp.logical_and(valid, posn > pos - window)
     logits = jnp.where(valid, logits, -1e30)
     p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    a = jnp.einsum("bhqs,bhsd->bhqd", p, cache["v"],
+    a = jnp.einsum("bkgqs,bksd->bkgqd", p, cache["v"],
                    preferred_element_type=jnp.float32).astype(x.dtype)
+    a = a.reshape(b, h, 1, d)
     out = x + _mm(a.transpose(0, 2, 1, 3).reshape(b, 1, e), params["wo"])
     h2 = _ln(out, *params["ln2"])
     out = out + _mm(jax.nn.gelu(_mm(h2, params["w1"])), params["w2"])

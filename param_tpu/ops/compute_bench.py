@@ -515,7 +515,8 @@ def bench_block_decode(
     """Whole-BLOCK decode step (models/transformer.py decode_step):
     cached attention + the full MLP/projection stack at T=1 — the
     weight-STREAMING regime that bounds serving tokens/s.  Shapes are
-    (batch, cache_len, emb, heads, ffn); the roofline is
+    (batch, cache_len, emb, heads, ffn) or with a kv_heads slot before
+    ffn for GQA (llama-3 geometry); the roofline is
     (weight bytes + KV bytes) / HBM BW, the classic per-token serving
     bound (batch amortizes weights, so tokens/s rises with B until the
     KV term dominates).
@@ -534,16 +535,22 @@ def bench_block_decode(
     chip = detect_chip()
     hbm = getattr(chip, "hbm_gbs", 0.0) or 0.0
     results = []
-    for b, cache_len, e, h, ff in shapes:
+    for shape in shapes:
+        if len(shape) == 6:  # (b, cache, e, heads, kv_heads, ff) — GQA
+            b, cache_len, e, h, kvh, ff = shape
+        else:
+            b, cache_len, e, h, ff = shape
+            kvh = h
         cfg = TransformerConfig(batch=b, seq=1, emb=e, heads=h, ffn=ff,
-                                attention="xla", dtype=act_dtype)
+                                attention="xla", dtype=act_dtype,
+                                kv_heads=kvh)
         params = init_params(jax.random.PRNGKey(0), cfg)
         r = np.random.default_rng(0)
         prompt = (jnp.asarray(r.standard_normal(
             (b, cache_len // 2, e), dtype=np.float32)) * 0.1).astype(dt)
         pre_cfg = TransformerConfig(batch=b, seq=cache_len // 2, emb=e,
                                     heads=h, ffn=ff, attention="xla",
-                                    dtype=act_dtype)
+                                    dtype=act_dtype, kv_heads=kvh)
         _, cache = prefill(params, prompt, pre_cfg, cache_len)
         if quant:
             params = (quantize_block_weights_int8(params) if dtype == "int8"
@@ -574,7 +581,7 @@ def bench_block_decode(
                 lambda nn: chain(params, cache, x1, nn=nn),
                 n_lo=1, n_hi=n_hi, reps=reps)
         except Exception:
-            log.exception("block decode %s failed", (b, cache_len, e, h, ff))
+            log.exception("block decode %s failed", shape)
             continue
         esz = jnp.dtype(dt).itemsize
         # Honest stream accounting: walk the (possibly quantized) matmul
@@ -588,11 +595,11 @@ def bench_block_decode(
                 w_bytes += sum(t.nbytes for t in w if hasattr(t, "nbytes"))
             else:
                 w_bytes += w.nbytes
-        kv_bytes = 2 * b * e * cache_len * esz
+        kv_bytes = 2 * b * kvh * cfg.head_dim * cache_len * esz
         gbs = (w_bytes + kv_bytes) / per / 1e9
         results.append(_report(ComputeResult(
             op=f"serve-{dtype}" if quant else "serve",
-            shape=(b, cache_len, e, h, ff),
+            shape=shape,
             lat_us=per * 1e6, gbs=gbs, qps=b / per,
             roofline_frac=gbs / hbm if hbm else 0.0,
         ), dtype))

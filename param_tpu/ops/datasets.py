@@ -90,7 +90,11 @@ DECODE_DATASETS = {"llama2": DECODE_LLAMA2, "gpt2": DECODE_GPT2,
 SERVE_LLAMA2 = [(1, 2048, 4096, 32, 11008), (8, 2048, 4096, 32, 11008),
                 (32, 2048, 4096, 32, 11008)]
 SERVE_GPT2 = [(8, 1024, 768, 12, 3072), (64, 1024, 768, 12, 3072)]
-SERVE_DATASETS = {"llama2": SERVE_LLAMA2, "gpt2": SERVE_GPT2}
+# llama-3-8B block geometry: 32 q heads over 8 kv heads (GQA)
+SERVE_LLAMA3 = [(1, 2048, 4096, 32, 8, 14336), (8, 2048, 4096, 32, 8, 14336),
+                (32, 2048, 4096, 32, 8, 14336)]
+SERVE_DATASETS = {"llama2": SERVE_LLAMA2, "gpt2": SERVE_GPT2,
+                  "llama3-gqa": SERVE_LLAMA3}
 
 TRANSFORMER_DATASETS = {
     "gpt2": TRANSFORMER_GPT2,

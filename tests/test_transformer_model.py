@@ -149,6 +149,33 @@ class TestServingCache:
                                        np.asarray(full[:, t:t + 1]),
                                        atol=3e-5, rtol=3e-5)
 
+    def test_gqa_cached_decode_matches_full_forward(self):
+        """GQA geometry (kv_heads < heads, llama-3 style): token-by-token
+        cached decode must reproduce the full causal forward, whose
+        attention broadcasts each kv head over its query group
+        (ops/attention.mha_reference)."""
+        from param_tpu.models.transformer import decode_step, prefill
+
+        cfg = _cfg(batch=2, seq=32, emb=128, heads=8, attention="xla",
+                   kv_heads=2)
+        params, x = _inputs(cfg)
+        full = block_apply(params, x, cfg)
+        t0 = 24
+        _, cache = prefill(
+            params, x[:, :t0],
+            _cfg(batch=2, seq=t0, emb=128, heads=8, attention="xla",
+                 kv_heads=2),
+            cfg.seq)
+        assert cache["k"].shape == (2, 2, cfg.seq, 16)  # kvh=2 cache
+        step = jax.jit(lambda p, c, xt, pos: decode_step(p, c, xt, pos,
+                                                         cfg))
+        for t in range(t0, cfg.seq):
+            out_t, cache = step(params, cache, x[:, t:t + 1],
+                                jnp.int32(t))
+            np.testing.assert_allclose(np.asarray(out_t),
+                                       np.asarray(full[:, t:t + 1]),
+                                       atol=3e-5, rtol=3e-5)
+
     def test_windowed_decode_matches_windowed_oracle(self):
         """decode_step(window=W) must equal the full forward computed
         with sliding-window attention at the same position."""
